@@ -1,0 +1,134 @@
+"""Benchmark harness.
+
+Renders the 5 configs from BASELINE.json and prints ONE JSON line for the
+headline metric: ms/frame for diablo 800x800 with the two-pass shadow
+pipeline (north star: >500 FPS on one v5e chip => 2.0 ms/frame budget;
+vs_baseline = 2.0 / measured_ms, so >1.0 beats the target).
+
+Usage: python bench.py [--backend auto] [--frames 50] [--all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TARGET_MS = 2.0  # >500 FPS north star (BASELINE.json)
+
+CONFIGS = [
+    ("african_head", "default", False),
+    ("diablo", "phong", False),
+    ("diablo", "darboux", False),
+    ("diablo", "shadow", False),
+    ("diablo", "occlusion", True),  # animated orbit
+]
+
+
+def _find_assets():
+    for root in ("assets", "/root/reference/assets"):
+        if os.path.isdir(os.path.join(root, "diablo")):
+            return root
+    raise FileNotFoundError("no asset root found")
+
+
+def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800):
+    import jax
+    from tiny_renderer_tpu import RenderConfig, Scene, load_model
+
+    model = load_model(os.path.join(asset_root, asset), verbose=False)
+    config = RenderConfig(width=size, height=size)
+    scene = Scene(model, pipeline, config, backend=backend)
+
+    def set_state(i):
+        ca = 0.37 + (0.05 * i if orbit else 0.0)
+        la = -0.6 + (0.03 * i if orbit else 0.0)
+        scene.set_camera(
+            np.array([math.sin(ca), 0.0, math.cos(ca)], np.float32),
+            np.zeros(3, np.float32),
+            np.array([0.0, 1.0, 0.0], np.float32),
+        )
+        scene.set_light_direction(
+            np.array([math.sin(la), 0.0, math.cos(la)], np.float32)
+        )
+
+    # Warmup/compile.
+    set_state(0)
+    scene.render()
+    scene.block_until_ready()
+
+    # Timed: device-only ms/frame (excluding host blit).
+    t0 = time.perf_counter()
+    for i in range(frames):
+        set_state(i)
+        scene.render()
+    scene.block_until_ready()
+    device_ms = (time.perf_counter() - t0) * 1e3 / frames
+
+    # Timed: including host blit (get_frame_buffer copy+flip).
+    t0 = time.perf_counter()
+    for i in range(frames):
+        set_state(i)
+        scene.render()
+        scene.get_frame_buffer()
+    blit_ms = (time.perf_counter() - t0) * 1e3 / frames
+
+    tris = model.num_triangles
+    pixels = size * size
+    return {
+        "asset": asset,
+        "pipeline": pipeline,
+        "ms_per_frame": device_ms,
+        "ms_per_frame_with_blit": blit_ms,
+        "fps": 1e3 / device_ms,
+        "mtri_per_s": tris * (2 if pipeline in ("shadow", "occlusion") else 1) / device_ms / 1e3,
+        "mpix_per_s": pixels / device_ms / 1e3,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--all", action="store_true", help="run all 5 configs (stderr report)")
+    args = ap.parse_args()
+
+    asset_root = _find_assets()
+
+    results = []
+    configs = CONFIGS if args.all else [("diablo", "shadow", False)]
+    for asset, pipeline, orbit in configs:
+        r = bench_config(asset_root, asset, pipeline, orbit, args.frames, args.backend, args.size)
+        results.append(r)
+        print(
+            f"# {r['asset']:13s} {r['pipeline']:9s} {r['ms_per_frame']:8.3f} ms/frame "
+            f"({r['fps']:7.1f} FPS) {r['mpix_per_s']:8.0f} Mpix/s blit {r['ms_per_frame_with_blit']:.3f} ms",
+            file=sys.stderr,
+        )
+
+    headline = next(
+        (r for r in results if r["asset"] == "diablo" and r["pipeline"] == "shadow"),
+        results[-1],
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ms/frame diablo 800x800 phong+shadow",
+                "value": round(headline["ms_per_frame"], 4),
+                "unit": "ms",
+                "vs_baseline": round(TARGET_MS / headline["ms_per_frame"], 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Golden parity: JAX renderer vs the NumPy oracle across all 7 pipelines.
+
+The oracle (tiny_renderer_tpu.oracle) encodes the Rust reference's serial
+semantics; no Rust toolchain exists here, so it is the parity anchor
+(SURVEY.md §4.1b).  Divergence budget: the only known difference is XLA's
+FMA fusion producing 1-ulp z differences that flip winners at exact-tie
+pixels on shared triangle edges — a small fraction of pixels; everywhere
+else output must match exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_renderer_tpu import RenderConfig
+from tiny_renderer_tpu.oracle import render_oracle
+from tiny_renderer_tpu.pipelines.frame import PIPELINES, make_frame_fn
+
+SIZE = 160
+MISMATCH_BUDGET = 0.005  # fraction of pixels allowed to differ (tie flips)
+
+
+def _render_pair(scene_data, camera, pipeline, backend="jnp", size=SIZE):
+    geom, tex = scene_data
+    light, look_from, look_at, up = camera
+    cfg = RenderConfig(width=size, height=size, tri_block=64,
+                       tile_h=8, tile_w=128, max_tris_per_tile=512)
+    o = render_oracle(geom, tex, light, look_from, look_at, up,
+                      pipeline=pipeline, config=cfg)
+    fn = make_frame_fn(pipeline, cfg, backend=backend)
+    gj = jax.tree.map(jnp.asarray, geom)
+    tj = jax.tree.map(jnp.asarray, tex)
+    r = fn(gj, tj, jnp.asarray(light), jnp.asarray(look_from),
+           jnp.asarray(look_at), jnp.asarray(up))
+    return o, jax.tree.map(np.asarray, r)
+
+
+@pytest.mark.parametrize("pipeline", sorted(PIPELINES))
+def test_head_parity(head_scene_data, camera, pipeline):
+    o, r = _render_pair(head_scene_data, camera, pipeline)
+    mismatch = (o["frame"] != r["frame"]).any(axis=-1).mean()
+    assert mismatch <= MISMATCH_BUDGET, f"{pipeline}: pixel mismatch {mismatch:.4%}"
+    # Coverage (raster winner presence) must agree except at tie flips.
+    cov_o = o["frame"].any(axis=-1)
+    cov_r = r["frame"].any(axis=-1)
+    assert (cov_o != cov_r).mean() <= MISMATCH_BUDGET
+
+
+@pytest.mark.parametrize("pipeline", ["default", "shadow"])
+def test_diablo_parity(diablo_scene_data, camera, pipeline):
+    o, r = _render_pair(diablo_scene_data, camera, pipeline)
+    mismatch = (o["frame"] != r["frame"]).any(axis=-1).mean()
+    assert mismatch <= MISMATCH_BUDGET, f"{pipeline}: pixel mismatch {mismatch:.4%}"
+
+
+@pytest.mark.parametrize("pipeline", ["phong", "shadow"])
+def test_pallas_interpret_parity(head_scene_data, camera, pipeline):
+    """Pallas (interpret mode on CPU) against the oracle on a small frame."""
+    o, r = _render_pair(head_scene_data, camera, pipeline,
+                        backend="pallas_interpret", size=64)
+    mismatch = (o["frame"] != r["frame"]).any(axis=-1).mean()
+    assert mismatch <= 0.01, f"{pipeline}: pixel mismatch {mismatch:.4%}"
+
+
+def test_shadow_buffer_parity(head_scene_data, camera):
+    o, r = _render_pair(head_scene_data, camera, "shadow")
+    # Shadow map z values: max-reduction over fragments; FMA tie flips don't
+    # change a max over equal values, but 1-ulp z differences show as atol.
+    np.testing.assert_allclose(o["shadow"], r["shadow"], rtol=1e-5, atol=1e-3)
+
+
+def test_two_runs_bit_identical(head_scene_data, camera):
+    """Determinism: the bit-stable z-buffer requirement (SURVEY.md §4.4)."""
+    o1, r1 = None, None
+    geom, tex = head_scene_data
+    light, look_from, look_at, up = camera
+    cfg = RenderConfig(width=96, height=96, tri_block=32)
+    fn = make_frame_fn("shadow", cfg, backend="jnp")
+    gj = jax.tree.map(jnp.asarray, geom)
+    tj = jax.tree.map(jnp.asarray, tex)
+    args = (jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at), jnp.asarray(up))
+    a = jax.tree.map(np.asarray, fn(gj, tj, *args))
+    b = jax.tree.map(np.asarray, fn(gj, tj, *args))
+    np.testing.assert_array_equal(a["frame"], b["frame"])
+    np.testing.assert_array_equal(a["z"], b["z"])
+    np.testing.assert_array_equal(a["shadow"], b["shadow"])

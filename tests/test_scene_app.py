@@ -1,0 +1,80 @@
+"""Scene API + CLI app + PNG writer tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tiny_renderer_tpu import RenderConfig, Scene
+from tiny_renderer_tpu.utils.png import write_png
+
+
+def test_scene_api_mirrors_reference(head_model):
+    cfg = RenderConfig(width=96, height=96, tri_block=32)
+    scene = Scene(head_model, "phong", cfg, backend="jnp")
+    scene.set_light_direction([0.0, 0.0, 1.0])
+    scene.set_camera([0.0, 0.0, 1.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene.render()
+    frame = scene.get_frame_buffer()
+    assert frame.shape == (96, 96, 3) and frame.dtype == np.uint8
+    assert frame.any(), "frame is all black"
+    z = scene.get_z_buffer()
+    assert z.shape == (96, 96, 3)
+    assert (z[:, :, 0] == z[:, :, 1]).all()
+    s = scene.get_shadow_buffer()
+    assert (s == 0).all()  # single-pass pipeline: shadow buffer untouched
+
+
+def test_scene_rejects_unknown_pipeline(head_model):
+    # Reference panics: "Provided pipeline name is not supported!" (shader.rs:108)
+    with pytest.raises(ValueError, match="not supported"):
+        Scene(head_model, "true_normal")
+
+
+def test_frame_buffer_is_vertically_flipped(head_model):
+    """(0,0) is bottom-left internally; presentation flips (scene.rs:92-97)."""
+    cfg = RenderConfig(width=64, height=64, tri_block=32)
+    scene = Scene(head_model, "default", cfg, backend="jnp")
+    scene.render()
+    flipped = scene.get_frame_buffer()
+    raw = np.asarray(scene._out["frame"])
+    np.testing.assert_array_equal(flipped, raw[::-1])
+
+
+def test_shadow_pipeline_buffers(head_model):
+    cfg = RenderConfig(width=64, height=64, tri_block=32)
+    scene = Scene(head_model, "shadow", cfg, backend="jnp")
+    scene.render()
+    assert scene.get_shadow_buffer().any()
+
+
+def test_png_roundtrip(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    img = (np.arange(32 * 16 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(16, 32, 3)
+    path = str(tmp_path / "x.png")
+    write_png(path, img)
+    back = np.asarray(PIL.open(path))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_app_headless_end_to_end(tmp_path, capsys):
+    from tiny_renderer_tpu.app import main
+
+    out = str(tmp_path / "frame.png")
+    z = str(tmp_path / "z.png")
+    rc = main([
+        "-p", "/root/reference/assets/african_head", "-s", "default",
+        "--size", "64", "64", "--frames", "2", "--orbit",
+        "--save", out, "--dump-z", z, "--backend", "jnp",
+    ])
+    assert rc == 0
+    assert os.path.exists(out) and os.path.exists(z)
+    captured = capsys.readouterr()
+    assert "cooking up a scene with 'default' shader pipeline" in captured.out
+
+
+def test_app_rejects_bad_pipeline():
+    from tiny_renderer_tpu.app import main
+
+    with pytest.raises(SystemExit):
+        main(["-s", "nope"])

@@ -1,0 +1,208 @@
+"""Vertex stage + raster core tests (SURVEY.md §4.2-§4.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiny_renderer_tpu import RenderConfig
+from tiny_renderer_tpu.ops import mathlib as ml
+from tiny_renderer_tpu.ops.binning import bin_triangles
+from tiny_renderer_tpu.ops.raster_jnp import rasterize_jnp
+from tiny_renderer_tpu.ops.raster_pallas import rasterize_pallas
+from tiny_renderer_tpu.ops.vertex import triangle_setup
+from tiny_renderer_tpu.oracle.reference_cpu import _raster_serial
+
+
+def _identity_uniforms(width, height):
+    """Uniforms with vpmv that maps clip space straight to raster coords."""
+    cfg = RenderConfig(width=width, height=height)
+    look_from = np.array([0, 0, 1], np.float32)
+    u = ml.default_prepare(
+        cfg, np.array([0, 0, 1], np.float32), look_from,
+        np.zeros(3, np.float32), np.array([0, 1, 0], np.float32), np,
+    )
+    return cfg, u
+
+
+def _geom_from_triangles(tris):
+    """tris: (T, 3, 3) world positions; trivial uv/normals."""
+    T = len(tris)
+    verts = np.asarray(tris, np.float32).reshape(-1, 3)
+    idx = np.arange(3 * T, dtype=np.int32).reshape(T, 3)
+    return {
+        "positions": verts,
+        "tex_coords": np.tile(np.array([[0.25, 0.25]], np.float32), (3 * T, 1)),
+        "normals": np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (3 * T, 1)),
+        "pos_idx": idx,
+        "tex_idx": idx,
+        "normal_idx": idx,
+    }
+
+
+class TestVertexStage:
+    def test_raster_coords_truncate_toward_zero(self):
+        cfg, u = _identity_uniforms(800, 800)
+        # Origin maps to exactly (399.5, 399.5) -> trunc toward zero -> 399.
+        geom = _geom_from_triangles([[[0, 0, 0], [0.1, 0, 0], [0, 0.1, 0]]])
+        s = triangle_setup(geom, u, cfg, needs=(), xp=np)
+        assert s["rx"][0, 0] == 399 and s["ry"][0, 0] == 399
+
+    def test_backface_culled(self):
+        cfg, u = _identity_uniforms(100, 100)
+        ccw = [[[0, 0, 0], [0.1, 0, 0], [0, 0.1, 0]]]
+        cw = [[[0, 0, 0], [0, 0.1, 0], [0.1, 0, 0]]]
+        s1 = triangle_setup(_geom_from_triangles(ccw), u, cfg, needs=(), xp=np)
+        s2 = triangle_setup(_geom_from_triangles(cw), u, cfg, needs=(), xp=np)
+        assert s1["valid"][0] and not s2["valid"][0]
+        # The shadow depth pass does not cull (shader.rs:679).
+        s3 = triangle_setup(_geom_from_triangles(cw), u, cfg, cull=False, needs=(), xp=np)
+        assert s3["valid"][0]
+
+    def test_degenerate_culled(self):
+        cfg, u = _identity_uniforms(100, 100)
+        # Collinear points -> integer cross == 0 (scene.rs:188-191).
+        geom = _geom_from_triangles([[[0, 0, 0], [0.1, 0.1, 0], [0.2, 0.2, 0]]])
+        s = triangle_setup(geom, u, cfg, needs=(), xp=np)
+        assert not s["valid"][0]
+
+    def test_uv_v_flip(self):
+        cfg, u = _identity_uniforms(100, 100)
+        geom = _geom_from_triangles([[[0, 0, 0], [0.1, 0, 0], [0, 0.1, 0]]])
+        geom["tex_coords"] = np.array([[0.2, 0.3]] * 3, np.float32)
+        s = triangle_setup(geom, u, cfg, needs=(), xp=np)
+        np.testing.assert_allclose(s["uv"][0, 0], [0.2, 0.7])
+
+    def test_offscreen_bbox_invalid(self):
+        cfg, u = _identity_uniforms(100, 100)
+        geom = _geom_from_triangles([[[50, 50, 0], [51, 50, 0], [50, 51, 0]]])
+        s = triangle_setup(geom, u, cfg, needs=(), xp=np)
+        assert not s["valid"][0]
+
+
+def _random_scene(n, seed, spread=0.9):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-spread, spread, (n, 1, 3)).astype(np.float32)
+    offs = rng.uniform(-0.3, 0.3, (n, 3, 3)).astype(np.float32)
+    return _geom_from_triangles(centers + offs)
+
+
+class TestRasterJnp:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_oracle_raster(self, seed):
+        cfg, u = _identity_uniforms(128, 128)
+        cfg = RenderConfig(width=128, height=128, tri_block=32)
+        geom = _random_scene(200, seed)
+        s_np = triangle_setup(geom, u, cfg, needs=(), xp=np)
+        z_o, idx_o = _raster_serial(s_np, 128, 128)
+
+        s_j = jax.jit(lambda g: triangle_setup(g, jax.tree.map(jnp.asarray, u), cfg, needs=(), xp=jnp))(
+            jax.tree.map(jnp.asarray, geom)
+        )
+        z_j, idx_j = jax.jit(
+            lambda s: rasterize_jnp(s, 128, 128, cfg.tri_block)
+        )(s_j)
+        idx_j = np.asarray(idx_j)
+        z_j = np.asarray(z_j)
+        # FMA fusion on the z interpolation can flip winners at exact-tie
+        # pixels (shared edges); everything else must agree.
+        mismatch = (idx_o != idx_j).mean()
+        assert mismatch < 0.002, f"idx mismatch fraction {mismatch}"
+        covered = idx_o >= 0
+        np.testing.assert_allclose(
+            z_j[covered], z_o[covered], rtol=1e-5, atol=1e-4
+        )
+
+    def test_depth_tiebreak_first_triangle_wins(self):
+        """Two identical triangles: the earlier index must win everywhere
+        (process_z_value rejects z <= stored, shader.rs:175)."""
+        cfg, u = _identity_uniforms(64, 64)
+        cfg = RenderConfig(width=64, height=64, tri_block=8)
+        tri = [[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [-0.5, 0.5, 0.0]]
+        geom = _geom_from_triangles([tri, tri, tri])
+        s = triangle_setup(jax.tree.map(jnp.asarray, geom),
+                           jax.tree.map(jnp.asarray, u), cfg, needs=(), xp=jnp)
+        z, idx = rasterize_jnp(s, 64, 64, cfg.tri_block)
+        idx = np.asarray(idx)
+        assert (idx[idx >= 0] == 0).all()
+
+    def test_order_permutation_invariance_modulo_ties(self):
+        """Rendering is winner-based: permuting triangle submission order
+        must not change output except at exact-z ties (SURVEY.md §4.3)."""
+        cfg, u = _identity_uniforms(96, 96)
+        cfg = RenderConfig(width=96, height=96, tri_block=16)
+        geom = _random_scene(60, 5)
+        s = triangle_setup(geom, u, cfg, needs=(), xp=np)
+        z1, i1 = _raster_serial(s, 96, 96)
+
+        perm = np.random.default_rng(0).permutation(60)
+        geom2 = {
+            "positions": geom["positions"],
+            "tex_coords": geom["tex_coords"],
+            "normals": geom["normals"],
+            "pos_idx": geom["pos_idx"][perm],
+            "tex_idx": geom["tex_idx"][perm],
+            "normal_idx": geom["normal_idx"][perm],
+        }
+        s2 = triangle_setup(geom2, u, cfg, needs=(), xp=np)
+        z2, i2 = _raster_serial(s2, 96, 96)
+        # depths identical except where ties were broken differently
+        tie_free = z1 == z2
+        assert tie_free.mean() > 0.999
+        np.testing.assert_array_equal(i1[tie_free] >= 0, i2[tie_free] >= 0)
+
+
+class TestBinningAndPallas:
+    def _setup(self, n=150, seed=3, W=256, H=64):
+        cfg = RenderConfig(width=W, height=H, tile_h=8, tile_w=128,
+                           max_tris_per_tile=128, tri_block=32)
+        _, u = _identity_uniforms(W, H)
+        geom = _random_scene(n, seed, spread=0.7)
+        s = jax.jit(
+            lambda g: triangle_setup(g, jax.tree.map(jnp.asarray, u), cfg, needs=(), xp=jnp)
+        )(jax.tree.map(jnp.asarray, geom))
+        return cfg, s
+
+    def test_binning_counts_match_bruteforce(self):
+        cfg, s = self._setup()
+        records, counts, overflow = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        counts = np.asarray(counts)
+        sn = jax.tree.map(np.asarray, s)
+        # Brute-force per-tile bbox overlap count.
+        for tile in range(cfg.num_tiles):
+            ty, tx = divmod(tile, cfg.tiles_x)
+            x_lo, x_hi = tx * cfg.tile_w, (tx + 1) * cfg.tile_w - 1
+            y_lo, y_hi = ty * cfg.tile_h, (ty + 1) * cfg.tile_h - 1
+            n = 0
+            for t in range(sn["valid"].shape[0]):
+                if not sn["valid"][t]:
+                    continue
+                if sn["x0"][t] <= x_hi and sn["x1"][t] >= x_lo and \
+                   sn["y0"][t] <= y_hi and sn["y1"][t] >= y_lo:
+                    n += 1
+            assert counts[tile] == min(n, cfg.max_tris_per_tile), f"tile {tile}"
+        assert not bool(overflow)
+
+    def test_pallas_interpret_matches_jnp(self):
+        cfg, s = self._setup()
+        z_j, idx_j = jax.jit(
+            lambda s: rasterize_jnp(s, cfg.height, cfg.width, cfg.tri_block)
+        )(s)
+        records, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        z_p, idx_p = rasterize_pallas(
+            records, counts,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,
+            interpret=True,
+        )
+        z_p = np.asarray(z_p)[: cfg.height, : cfg.width]
+        idx_p = np.asarray(idx_p)[: cfg.height, : cfg.width]
+        idx_j = np.asarray(idx_j)
+        z_j = np.asarray(z_j)
+        # The pallas kernel interpolates z via reciprocal-multiply; 1-ulp
+        # differences can flip exact ties. Coverage must agree exactly.
+        np.testing.assert_array_equal(idx_p >= 0, idx_j >= 0)
+        mismatch = (idx_p != idx_j).mean()
+        assert mismatch < 0.002, f"winner mismatch {mismatch}"
+        covered = idx_j >= 0
+        np.testing.assert_allclose(z_p[covered], z_j[covered], rtol=1e-5, atol=1e-4)

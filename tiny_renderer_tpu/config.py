@@ -1,0 +1,74 @@
+"""Render configuration.
+
+The reference hardcodes its knobs as scattered compile-time constants
+(800x800 at src/main.rs:6-7, depth range 255 at src/scene/shader.rs:214,
+projection coef -1/5 at shader.rs:204, shadow bias/dim at shader.rs:778-779,
+occlusion constants at shader.rs:916-920, specular scale at shader.rs:521).
+Here they live in one frozen dataclass so a config hashes cleanly into jit
+static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All scene/render constants. Defaults reproduce the reference."""
+
+    width: int = 800   # src/main.rs:6
+    height: int = 800  # src/main.rs:7
+
+    # Viewport depth range; z is mapped into [0, depth] (shader.rs:210-218).
+    depth: float = 255.0
+    # Perspective row coefficient: w' = 1 + coef * z with coef = -1/5
+    # (shader.rs:204-208) — i.e. a projection distance of 5.
+    projection_coef: float = -1.0 / 5.0
+
+    # Shadow pipeline constants (shader.rs:776-779).
+    shadow_bias: float = 1.0
+    shadow_dim: float = 0.3
+
+    # Occlusion pipeline constants (shader.rs:916-920).
+    occlusion_samples: int = 16
+    occlusion_step: float = 0.02
+    occlusion_threshold: float = 1.0
+    occlusion_depth_scale: float = 20.0
+
+    # Specular pipeline constant (shader.rs:521).
+    specular_scale: float = 0.6
+
+    # Raster tiling (TPU-side knobs; no reference equivalent — the reference
+    # scans each triangle's bounding box serially, src/scene.rs:240-241).
+    tile_h: int = 16
+    tile_w: int = 128
+    # Max triangles binned per tile; overflow is dropped deterministically
+    # (highest indices first). Raise for pathological close-up geometry.
+    max_tris_per_tile: int = 512
+    # Triangle-block size for the pure-jnp raster path.
+    tri_block: int = 512
+
+    # Camera/light orbit speeds in rad/s (src/app.rs:12-13).
+    camera_speed: float = 3.0
+    light_speed: float = 3.0
+
+    @property
+    def padded_width(self) -> int:
+        return -(-self.width // self.tile_w) * self.tile_w
+
+    @property
+    def padded_height(self) -> int:
+        return -(-self.height // self.tile_h) * self.tile_h
+
+    @property
+    def tiles_x(self) -> int:
+        return self.padded_width // self.tile_w
+
+    @property
+    def tiles_y(self) -> int:
+        return self.padded_height // self.tile_h
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y

@@ -1,0 +1,147 @@
+"""Multi-chip scale-out: shard_map over screen-row shards (+ frame batch).
+
+The reference is a single-process renderer with no distributed story
+(SURVEY.md §5.8).  The TPU-native scale-out maps the renderer's natural data
+parallelism onto a jax.sharding.Mesh:
+
+* "rows" axis — the screen's y axis is sharded; triangles (a few thousand,
+  ~KBs) are replicated, so each device rasterizes and shades only its own
+  row slab with zero communication.  The single cross-device dependency is
+  the shadow map of two-pass pipelines: pass 1 depth is computed row-local
+  and `jax.lax.all_gather`ed over ICI before pass 2's arbitrary-position
+  lookups (shader.rs:762-785 can sample anywhere).
+* "batch" axis — independent frames (animation/orbit burst rendering) shard
+  trivially: render_batch_sharded shards a batch of camera/light states over
+  "batch" and rows over "rows" on a 2D mesh.
+
+Everything compiles under one jit/shard_map; collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import mathlib as ml
+from ..ops.raster_jnp import rasterize_jnp
+from ..ops.vertex import triangle_setup
+from ..pipelines.frame import PIPELINES, _GATHER_KEYS, _gather_fragments
+
+
+def make_row_mesh(devices=None, batch: int = 1):
+    """Mesh over ("batch", "rows"). batch=1 gives a pure row mesh."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % batch != 0:
+        raise ValueError(f"{n} devices not divisible by batch={batch}")
+    import numpy as np
+
+    arr = np.array(devices).reshape(batch, n // batch)
+    return Mesh(arr, axis_names=("batch", "rows"))
+
+
+def _render_shard(geom, textures, light_direction, look_from, look_at, up,
+                  *, pipeline, config, rows_per_shard):
+    """Render this device's row slab.  Runs inside shard_map with axis "rows"."""
+    spec = PIPELINES[pipeline]
+    W = config.width
+    d = jax.lax.axis_index("rows")
+    y0 = d * rows_per_shard
+
+    if spec.two_pass:
+        u1 = ml.shadow_pass_1_prepare(config, light_direction, look_at, up, jnp)
+        setup1 = triangle_setup(
+            geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
+        )
+        shadow_local, _ = rasterize_jnp(
+            setup1, rows_per_shard, W, config.tri_block, y_offset=y0
+        )
+        # The only cross-device dependency: assemble the full shadow map.
+        shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
+        uniforms = ml.shadow_pass_2_prepare(
+            config, light_direction, look_from, look_at, up, jnp
+        )
+        uniforms["shadow_matrix"] = u1["shadow_matrix"]
+    else:
+        uniforms = ml.default_prepare(config, light_direction, look_from, look_at, up, jnp)
+        shadow_local = jnp.full((rows_per_shard, W), ml.F32_MIN, jnp.float32)
+        shadow_full = None
+
+    setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
+    z, idx = rasterize_jnp(setup, rows_per_shard, W, config.tri_block, y_offset=y0)
+
+    frag = _gather_fragments(setup, idx, _GATHER_KEYS[pipeline], config, y_offset=y0)
+    if spec.two_pass:
+        frag["shadow_buffer"] = shadow_full
+    colors = spec.shade(frag, uniforms, textures, config, jnp)
+    covered = (idx >= 0)[..., None]
+    frame = jnp.where(covered, colors, jnp.uint8(0))
+    return frame, z, shadow_local
+
+
+@functools.partial(jax.jit, static_argnames=("pipeline", "config", "mesh"))
+def render_frame_sharded(
+    geom, textures, light_direction, look_from, look_at, up, *, pipeline, config, mesh
+):
+    """Row-sharded single frame. Returns dict(frame, z, shadow) of full size.
+
+    config.height must be divisible by the "rows" axis size.
+    """
+    n_rows = mesh.shape["rows"]
+    if config.height % n_rows != 0:
+        raise ValueError(f"height {config.height} not divisible by rows axis {n_rows}")
+    rows_per = config.height // n_rows
+
+    body = functools.partial(
+        _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per
+    )
+    rep = P()
+    frame, z, shadow = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep),
+        out_specs=(P("rows", None, None), P("rows", None), P("rows", None)),
+        check_vma=False,
+    )(geom, textures, light_direction, look_from, look_at, up)
+    return {"frame": frame, "z": z, "shadow": shadow}
+
+
+@functools.partial(jax.jit, static_argnames=("pipeline", "config", "mesh"))
+def render_batch_sharded(
+    geom, textures, light_directions, look_froms, look_at, up, *, pipeline, config, mesh
+):
+    """Batch of frames on a 2D ("batch", "rows") mesh.
+
+    light_directions/look_froms: (B, 3) sharded over "batch"; each frame's
+    rows are sharded over "rows".  Returns frames (B, H, W, 3).
+    """
+    n_batch = mesh.shape["batch"]
+    n_rows = mesh.shape["rows"]
+    B = light_directions.shape[0]
+    if B % n_batch != 0:
+        raise ValueError(f"batch {B} not divisible by batch axis {n_batch}")
+    if config.height % n_rows != 0:
+        raise ValueError(f"height {config.height} not divisible by rows axis {n_rows}")
+    rows_per = config.height // n_rows
+
+    def body(geom, textures, lights, froms, look_at, up):
+        shard = functools.partial(
+            _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per
+        )
+        frame, z, _ = jax.vmap(
+            lambda l, f: shard(geom, textures, l, f, look_at, up)
+        )(lights, froms)
+        return frame, z
+
+    rep = P()
+    frames, zs = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, rep, P("batch", None), P("batch", None), rep, rep),
+        out_specs=(P("batch", "rows", None, None), P("batch", "rows", None)),
+        check_vma=False,
+    )(geom, textures, light_directions, look_froms, look_at, up)
+    return {"frame": frames, "z": zs}

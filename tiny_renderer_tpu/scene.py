@@ -1,0 +1,121 @@
+"""Scene: the host-side API mirroring the reference's `Scene` struct.
+
+Reference: src/scene.rs:25-149 — holds dims, model, pipeline, light/camera
+state, frame/z/shadow buffers, and exposes clear / set_light_direction /
+set_camera / render / get_frame_buffer / get_z_buffer / get_shadow_buffer.
+
+Here the buffers live on device and `render()` invokes one jit-compiled
+frame function; the getters fetch and convert exactly like the reference
+(u8 casts, vertical flip at presentation, scene.rs:92-125).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .assets.model import Model
+from .config import RenderConfig
+from .ops import mathlib as ml
+from .pipelines.frame import PIPELINES, make_frame_fn
+
+
+class Scene:
+    def __init__(
+        self,
+        model: Model,
+        pipeline_name: str = "default",
+        config: RenderConfig | None = None,
+        backend: str = "auto",
+    ):
+        if pipeline_name not in PIPELINES:
+            # Reference panics with this message (shader.rs:108).
+            raise ValueError(
+                f"Provided pipeline name is not supported! ({pipeline_name!r}; "
+                f"expected one of {sorted(PIPELINES)})"
+            )
+        self.config = config or RenderConfig()
+        self.pipeline_name = pipeline_name
+        self.model = model
+
+        mesh = model.mesh
+        self._geom = {
+            "positions": jnp.asarray(mesh.positions),
+            "tex_coords": jnp.asarray(mesh.tex_coords),
+            "normals": jnp.asarray(mesh.normals),
+            "pos_idx": jnp.asarray(mesh.pos_idx),
+            "tex_idx": jnp.asarray(mesh.tex_idx),
+            "normal_idx": jnp.asarray(mesh.normal_idx),
+        }
+        self._textures = {
+            "texture": jnp.asarray(model.texture),
+            "normal_map": jnp.asarray(model.normal_map),
+            "normal_map_tangent": jnp.asarray(model.normal_map_tangent),
+            "specular_map": jnp.asarray(model.specular_map),
+        }
+        self._frame_fn = make_frame_fn(pipeline_name, self.config, backend)
+
+        # Scene state (reference defaults, scene.rs:66-69).
+        self._light_direction = np.array([0.0, 0.0, -1.0], np.float32)
+        self._look_from = np.array([0.0, 0.0, 1.0], np.float32)
+        self._look_at = np.array([0.0, 0.0, 0.0], np.float32)
+        self._up = np.array([0.0, 1.0, 0.0], np.float32)
+        self._out = None
+
+    # -- reference API ------------------------------------------------------
+
+    def clear(self):
+        """Frames are stateless here (recomputed from scene state); kept for
+        API parity with scene.rs:128-137."""
+        self._out = None
+
+    def set_light_direction(self, light_direction):
+        self._light_direction = np.asarray(light_direction, np.float32)
+
+    def set_camera(self, look_from, look_at, up):
+        self._look_from = np.asarray(look_from, np.float32)
+        self._look_at = np.asarray(look_at, np.float32)
+        self._up = np.asarray(up, np.float32)
+
+    def render(self):
+        self._out = self._frame_fn(
+            self._geom,
+            self._textures,
+            jnp.asarray(self._light_direction),
+            jnp.asarray(self._look_from),
+            jnp.asarray(self._look_at),
+            jnp.asarray(self._up),
+        )
+        return self._out
+
+    def block_until_ready(self):
+        if self._out is not None:
+            jax.block_until_ready(self._out)
+
+    def get_frame_buffer(self) -> np.ndarray:
+        """(H, W, 3) u8, vertically flipped so row 0 is the top of the world
+        — matching the reference's presentation flip (scene.rs:92-97)."""
+        out = self._require_render()
+        return np.asarray(out["frame"])[::-1]
+
+    def get_z_buffer(self) -> np.ndarray:
+        """Grayscale u8 debug view of the z-buffer (scene.rs:101-111)."""
+        out = self._require_render()
+        z = np.asarray(out["z"])
+        g = np.asarray(ml.rust_f32_to_u8(z, np))
+        return np.repeat(g[::-1, :, None], 3, axis=2)
+
+    def get_shadow_buffer(self) -> np.ndarray:
+        """Grayscale u8 debug view of the shadow buffer (scene.rs:115-125)."""
+        out = self._require_render()
+        s = np.asarray(out["shadow"])
+        g = np.asarray(ml.rust_f32_to_u8(s, np))
+        return np.repeat(g[::-1, :, None], 3, axis=2)
+
+    # -----------------------------------------------------------------------
+
+    def _require_render(self):
+        if self._out is None:
+            self.render()
+        return self._out
