@@ -97,7 +97,6 @@ def run_headless(scene: Scene, args) -> np.ndarray:
     camera_angle = args.camera_angle
     light_angle = args.light_angle
     frame_time = 0.0
-    frame = None
     for _ in range(max(1, args.frames)):
         t0 = time.monotonic()
         if args.orbit:
@@ -107,10 +106,11 @@ def run_headless(scene: Scene, args) -> np.ndarray:
         scene.set_camera(look_from, look_at, up)
         scene.set_light_direction(light)
         scene.render()
-        frame = scene.get_frame_buffer()
+        # Headless: frames stay on device; only the final one is fetched.
+        scene.block_until_ready()
         fps.tick()
         frame_time = time.monotonic() - t0
-    return frame
+    return scene.get_frame_buffer()
 
 
 def run_interactive(scene: Scene, args) -> np.ndarray:

@@ -45,7 +45,12 @@ class RenderConfig:
     tile_w: int = 128
     # Max triangles binned per tile; overflow is dropped deterministically
     # (highest indices first). Raise for pathological close-up geometry.
-    max_tris_per_tile: int = 512
+    max_tris_per_tile: int = 128
+    # Max tile span of one triangle's bbox (rows x cols of tiles); coverage
+    # beyond is dropped deterministically.  Defaults allow a 128 x 512 px
+    # bbox — far beyond anything the reference scenes produce.
+    max_span_y: int = 8
+    max_span_x: int = 4
     # Triangle-block size for the pure-jnp raster path.
     tri_block: int = 512
 

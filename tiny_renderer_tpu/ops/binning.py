@@ -4,14 +4,24 @@ The reference bounds raster work per triangle with a bbox scan
 (src/scene.rs:233-241); the TPU analog is tiling: the screen is cut into
 (tile_h x tile_w) tiles and each triangle is binned into every tile its
 screen-clamped bbox overlaps.  The Pallas kernel then only evaluates
-(tile, triangle) pairs that can actually produce coverage — this is the
-blockwise decomposition that bounds the O(pixels x triangles) product
-(SURVEY.md §5.7).
+(tile, triangle) pairs that can actually produce coverage — the blockwise
+decomposition that bounds the O(pixels x triangles) product (SURVEY.md §5.7).
 
-Compaction is sort-based and fully deterministic: per tile, overlapping
-triangle indices are sorted ascending, preserving the reference's
-polygon-order tie-break; overflow beyond max_tris_per_tile drops the
-*highest* indices (deterministic, reported via the overflow flag).
+Compaction strategy (v2): incidence-key sort.  Each triangle contributes up
+to max_span_y * max_span_x (tile, triangle) incidences; the packed keys
+`tile_id * K + tri_id` of ALL incidences are sorted in one small
+(T * span,) sort, per-tile ranges are recovered with searchsorted, and the
+per-tile record lists are plain gathers.  This is ~20x less sort work than
+the previous per-tile (num_tiles, T) sort and keeps the critical invariant:
+within each tile, triangle indices ascend, preserving the reference's
+polygon-order tie-break (shader.rs:169-180).
+
+Coverage caps (both deterministic, both reported via `overflowed`):
+* bbox span is clamped to max_span_y x max_span_x tiles (default 8 x 4 =
+  128 x 512 px) — triangles larger than that lose coverage beyond the cap;
+* per-tile lists are truncated at max_tris_per_tile (highest indices drop).
+Both caps are far above anything the reference scenes produce; raise the
+config knobs for pathological close-up geometry.
 """
 
 from __future__ import annotations
@@ -57,40 +67,64 @@ def bin_triangles(setup, config):
     """Bin triangles into screen tiles.
 
     Returns:
-      tile_records: (num_tiles, max_tris_per_tile, RECORD_LANES) f32
+      tile_records: (num_tiles, max_tris_per_tile, RECORD_LANES) f32,
+        triangle indices ascending within each tile
       counts: (num_tiles,) i32 — triangles binned per tile (clamped to max)
-      overflowed: () bool — any tile exceeded max_tris_per_tile
+      overflowed: () bool — any coverage cap was hit
     """
     th, tw = config.tile_h, config.tile_w
-    n_ty, n_tx = config.tiles_y, config.tiles_x
+    n_tx = config.tiles_x
+    num_tiles = config.num_tiles
     max_t = config.max_tris_per_tile
+    msy, msx = config.max_span_y, config.max_span_x
+
+    T = setup["valid"].shape[0]
+    # Key packing: key = tile_id * K + tri_id must fit in i32.
+    K = 1 << int(T).bit_length()
+    if num_tiles * K >= 2**31:
+        raise ValueError(
+            f"binning key overflow: {num_tiles} tiles x {T} triangles; "
+            "use larger tiles or shard the screen"
+        )
 
     valid = setup["valid"]
-    # Tile index ranges covered by the screen-clamped bbox.
     tx0 = setup["x0"] // tw
     tx1 = setup["x1"] // tw
     ty0 = setup["y0"] // th
     ty1 = setup["y1"] // th
+    span_x = tx1 - tx0
+    span_y = ty1 - ty0
+    span_clamped = jnp.any(valid & ((span_x > msx - 1) | (span_y > msy - 1)))
 
-    ty_ids = jnp.arange(n_ty, dtype=jnp.int32)
-    tx_ids = jnp.arange(n_tx, dtype=jnp.int32)
-    row_hit = (ty_ids[None, :] >= ty0[:, None]) & (ty_ids[None, :] <= ty1[:, None])
-    col_hit = (tx_ids[None, :] >= tx0[:, None]) & (tx_ids[None, :] <= tx1[:, None])
-    # (T, n_ty, n_tx) -> (T, num_tiles)
-    hit = (row_hit[:, :, None] & col_hit[:, None, :]) & valid[:, None, None]
-    hit = hit.reshape(hit.shape[0], -1)
-
-    T = hit.shape[0]
+    dy = jnp.arange(msy, dtype=jnp.int32)
+    dx = jnp.arange(msx, dtype=jnp.int32)
+    # (T, msy, msx) candidate tiles.
+    tile = (ty0[:, None, None] + dy[None, :, None]) * n_tx + (
+        tx0[:, None, None] + dx[None, None, :]
+    )
+    ok = (
+        valid[:, None, None]
+        & (dy[None, :, None] <= span_y[:, None, None])
+        & (dx[None, None, :] <= span_x[:, None, None])
+    )
     tri_ids = jnp.arange(T, dtype=jnp.int32)
-    # Per tile: ascending triangle indices first, sentinel T for non-hits.
-    keys = jnp.where(hit, tri_ids[:, None], jnp.int32(T)).T  # (num_tiles, T)
-    order = jnp.sort(keys, axis=1)[:, :max_t]  # (num_tiles, max_t)
+    key = jnp.where(ok, tile * K + tri_ids[:, None, None], jnp.int32(2**31 - 1))
+    keys_sorted = jnp.sort(key.reshape(-1))  # (T * msy * msx,)
 
-    raw_counts = hit.sum(axis=0, dtype=jnp.int32)
+    # Per-tile ranges: starts[t] = first incidence of tile t.
+    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) * K
+    starts = jnp.searchsorted(keys_sorted, boundaries, side="left").astype(jnp.int32)
+    raw_counts = starts[1:] - starts[:-1]
     counts = jnp.minimum(raw_counts, jnp.int32(max_t))
-    overflowed = jnp.any(raw_counts > max_t)
+    overflowed = jnp.any(raw_counts > max_t) | span_clamped
+
+    # Per-tile triangle lists: gather from the sorted incidences.
+    slot = starts[:-1, None] + jnp.arange(max_t, dtype=jnp.int32)[None, :]
+    slot = jnp.minimum(slot, jnp.int32(keys_sorted.shape[0] - 1))
+    tri_of_slot = (keys_sorted[slot] & jnp.int32(K - 1)).astype(jnp.int32)
+    in_range = jnp.arange(max_t, dtype=jnp.int32)[None, :] < counts[:, None]
+    gather_ids = jnp.where(in_range, jnp.minimum(tri_of_slot, T - 1), jnp.int32(T - 1))
 
     records = pack_triangle_records(setup, jnp)
-    gather_ids = jnp.minimum(order, jnp.int32(T - 1))
     tile_records = records[gather_ids]
     return tile_records, counts, overflowed

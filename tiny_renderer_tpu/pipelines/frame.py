@@ -79,25 +79,50 @@ def _rasterize(setup, config, backend):
 def _gather_fragments(setup, idx, keys, config, y_offset=0):
     """Build per-pixel fragment inputs for deferred shading.
 
-    Gathers the winning triangle's varyings per pixel and recomputes its
-    barycentric coordinates with the reference's exact f32 expression
+    All of the winning triangle's varyings are packed into ONE (T, L) f32
+    matrix and fetched with a single per-pixel gather (TPU gathers cost per
+    row, so one wide gather beats many narrow ones), then barycentric
+    coordinates are recomputed with the reference's exact f32 expression
     (scene.rs:192-196) — exact divisions, matching the oracle bit-for-bit.
+    The edge coefficients are integers < 2^24, exact in f32.
     """
     H, W = idx.shape
     safe = jnp.maximum(idx, 0)
-    frag = {k: setup[k][safe] for k in keys}
+
+    cols = [
+        setup["a1"].astype(jnp.float32)[:, None],
+        setup["b1"].astype(jnp.float32)[:, None],
+        setup["c1"].astype(jnp.float32)[:, None],
+        setup["a2"].astype(jnp.float32)[:, None],
+        setup["b2"].astype(jnp.float32)[:, None],
+        setup["c2"].astype(jnp.float32)[:, None],
+        setup["cz"].astype(jnp.float32)[:, None],
+    ]
+    layout = {}
+    pos = 7
+    for k in keys:
+        a = setup[k]
+        flat = a.reshape(a.shape[0], -1).astype(jnp.float32)
+        layout[k] = (pos, flat.shape[1], a.shape[1:])
+        pos += flat.shape[1]
+        cols.append(flat)
+    packed = jnp.concatenate(cols, axis=1)  # (T, L)
+
+    g = packed[safe]  # (H, W, L) — the one gather
+    frag = {}
+    for k, (start, width, shape) in layout.items():
+        frag[k] = g[..., start : start + width].reshape(H, W, *shape)
 
     px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + y_offset
-    cx = (setup["a1"][safe] * px + setup["b1"][safe] * py) + setup["c1"][safe]
-    cy = (setup["a2"][safe] * px + setup["b2"][safe] * py) + setup["c2"][safe]
-    czf = setup["cz"][safe].astype(jnp.float32)
-    cxf = cx.astype(jnp.float32)
-    cyf = cy.astype(jnp.float32)
-    bar = jnp.stack(
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+    cxf = (g[..., 0] * pxf + g[..., 1] * pyf) + g[..., 2]
+    cyf = (g[..., 3] * pxf + g[..., 4] * pyf) + g[..., 5]
+    czf = g[..., 6]
+    frag["bar"] = jnp.stack(
         [jnp.float32(1.0) - (cxf + cyf) / czf, cxf / czf, cyf / czf], axis=-1
     )
-    frag["bar"] = bar
     frag["x"] = px
     frag["y"] = py
     return frag
@@ -175,4 +200,56 @@ def make_frame_fn(pipeline, config, backend="auto"):
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     return functools.partial(
         render_frame_jit, pipeline=pipeline, config=config, backend=backend
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pipeline", "config", "backend", "keep_frames")
+)
+def render_burst(
+    geom, textures, camera_angles, light_angles, *, pipeline, config, backend,
+    keep_frames=False,
+):
+    """Render a whole animation burst in ONE device program.
+
+    camera_angles/light_angles: (N,) f32 orbit angles (the reference's
+    camera/light parameterization, src/app.rs:200-207).  Frames are rendered
+    by a lax.scan — a single dispatch regardless of N, so host/dispatch
+    latency amortizes to zero; this is both the serving-throughput bench path
+    and the batch-animation API.
+
+    Returns dict with per-frame u32 checksums (always) and, if keep_frames,
+    the stacked (N, H, W, 3) frames.
+    """
+    look_at = jnp.zeros((3,), jnp.float32)
+    up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+
+    def body(_, ab):
+        ca, la = ab
+        look_from = jnp.stack([jnp.sin(ca), jnp.float32(0.0), jnp.cos(ca)])
+        light = jnp.stack([jnp.sin(la), jnp.float32(0.0), jnp.cos(la)])
+        out = render_frame(
+            geom, textures, light, look_from, look_at, up,
+            pipeline=pipeline, config=config, backend=backend,
+        )
+        checksum = jnp.sum(out["frame"].astype(jnp.uint32))
+        y = (checksum, out["frame"]) if keep_frames else (checksum,)
+        return 0, y
+
+    _, ys = jax.lax.scan(body, 0, (camera_angles, light_angles))
+    result = {"checksums": ys[0]}
+    if keep_frames:
+        result["frames"] = ys[1]
+    return result
+
+
+def make_burst_fn(pipeline, config, backend="auto", keep_frames=False):
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return functools.partial(
+        render_burst,
+        pipeline=pipeline,
+        config=config,
+        backend=backend,
+        keep_frames=keep_frames,
     )

@@ -82,6 +82,46 @@ def sample_specular(textures, uv, xp):
     return tex[cy, cx, 0].astype(xp.float32)
 
 
+_SAMPLERS = {
+    "texture": sample_color,
+    "normal_map": sample_normal,
+    "normal_map_tangent": sample_normal_tangent,
+    "specular_map": sample_specular,
+}
+
+
+def sample_maps(textures, uv, names, xp):
+    """Fetch several maps at one uv, with a single packed gather when all
+    maps share dimensions (TPU gathers cost per row — one wide fetch beats
+    several narrow ones).  Falls back to the per-map samplers (preserving
+    the tangent-map dimension quirk, util.rs:61-70) on mismatched dims.
+    Returns {name: decoded sample} matching the individual samplers.
+    """
+    texs = [textures[n] for n in names]
+    dims = {t.shape[:2] for t in texs}
+    # The tangent map's texel coords come from the *normal_map* dims
+    # (util.rs:61-70); the packed path is only valid if those match too.
+    if "normal_map_tangent" in names:
+        dims.add(textures["normal_map"].shape[:2])
+    if len(names) == 1 or len(dims) != 1:
+        return {n: _SAMPLERS[n](textures, uv, xp) for n in names}
+
+    packed = xp.concatenate(texs, axis=-1)
+    h, w = texs[0].shape[:2]
+    cx, cy = _tex_coords(uv, w, h, xp)
+    g = packed[cy, cx]  # (..., 3 * len(names))
+    out = {}
+    for i, n in enumerate(names):
+        raw = g[..., 3 * i : 3 * i + 3]
+        if n in ("normal_map", "normal_map_tangent"):
+            out[n] = _decode_normal(raw, xp)
+        elif n == "specular_map":
+            out[n] = raw[..., 0].astype(xp.float32)
+        else:
+            out[n] = raw
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Shared fragment helpers
 # ---------------------------------------------------------------------------
@@ -152,8 +192,8 @@ def shade_phong(frag, uniforms, textures, config, xp):
 def shade_normal_map(frag, uniforms, textures, config, xp):
     """World-space normal map lookup (shader.rs:439-457)."""
     uv = interp_uv(frag, xp)
-    color = sample_color(textures, uv, xp)
-    n = sample_normal(textures, uv, xp)
+    s = sample_maps(textures, uv, ("texture", "normal_map"), xp)
+    color, n = s["texture"], s["normal_map"]
     t_n = ml.normalize3(ml.mat4_transform_vector(uniforms["it_m"], n, xp), xp)
     diff = ml.dot3(uniforms["t_light_direction"], t_n)
     return ml.color_blend(color, xp.asarray(BLACK), diff, xp)
@@ -162,8 +202,9 @@ def shade_normal_map(frag, uniforms, textures, config, xp):
 def shade_specular(frag, uniforms, textures, config, xp):
     """Normal-map diffuse + Phong specular (shader.rs:498-534)."""
     uv = interp_uv(frag, xp)
-    color = sample_color(textures, uv, xp).astype(xp.float32)
-    n = sample_normal(textures, uv, xp)
+    s = sample_maps(textures, uv, ("texture", "normal_map", "specular_map"), xp)
+    color = s["texture"].astype(xp.float32)
+    n = s["normal_map"]
     t_n = ml.normalize3(ml.mat4_transform_vector(uniforms["it_m"], n, xp), xp)
     l = uniforms["t_light_direction"]
     d = ml.dot3(l, t_n)
@@ -172,7 +213,7 @@ def shade_specular(frag, uniforms, textures, config, xp):
     )
     # Camera-frame trick: only .z of the reflection matters since the camera
     # direction is (0,0,-1) in its own frame (shader.rs:520-525).
-    spec_exp = sample_specular(textures, uv, xp)
+    spec_exp = s["specular_map"]
     spec = xp.float32(config.specular_scale) * xp.power(
         xp.maximum(reflected[..., 2], xp.float32(0.0)), spec_exp
     )
@@ -184,8 +225,8 @@ def shade_specular(frag, uniforms, textures, config, xp):
 def shade_darboux(frag, uniforms, textures, config, xp):
     """Tangent-space (Darboux) normal mapping (shader.rs:597-654)."""
     uv = interp_uv(frag, xp)
-    color = sample_color(textures, uv, xp)
-    tn_sample = sample_normal_tangent(textures, uv, xp)
+    s = sample_maps(textures, uv, ("texture", "normal_map_tangent"), xp)
+    color, tn_sample = s["texture"], s["normal_map_tangent"]
 
     bar = frag["bar"]
     t_pos = frag["t_pos"]    # (..., 3 vertices, 3)

@@ -19,6 +19,7 @@ from .assets.model import Model
 from .config import RenderConfig
 from .ops import mathlib as ml
 from .pipelines.frame import PIPELINES, make_frame_fn
+from .utils.transfer import fetch
 
 
 class Scene:
@@ -97,19 +98,19 @@ class Scene:
         """(H, W, 3) u8, vertically flipped so row 0 is the top of the world
         — matching the reference's presentation flip (scene.rs:92-97)."""
         out = self._require_render()
-        return np.asarray(out["frame"])[::-1]
+        return fetch(out["frame"])[::-1]
 
     def get_z_buffer(self) -> np.ndarray:
         """Grayscale u8 debug view of the z-buffer (scene.rs:101-111)."""
         out = self._require_render()
-        z = np.asarray(out["z"])
+        z = fetch(out["z"])
         g = np.asarray(ml.rust_f32_to_u8(z, np))
         return np.repeat(g[::-1, :, None], 3, axis=2)
 
     def get_shadow_buffer(self) -> np.ndarray:
         """Grayscale u8 debug view of the shadow buffer (scene.rs:115-125)."""
         out = self._require_render()
-        s = np.asarray(out["shadow"])
+        s = fetch(out["shadow"])
         g = np.asarray(ml.rust_f32_to_u8(s, np))
         return np.repeat(g[::-1, :, None], 3, axis=2)
 
