@@ -189,7 +189,7 @@ class TestBinningAndPallas:
             lambda s: rasterize_jnp(s, cfg.height, cfg.width, cfg.tri_block)
         )(s)
         records, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
-        z_p, idx_p = rasterize_pallas(
+        z_p, idx_p, _ = rasterize_pallas(
             records, counts,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,

@@ -30,15 +30,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Packed per-triangle record layout (f32 lanes) for the raster kernel.
+# Packed per-triangle base record layout (f32 lanes) for the raster kernel.
 #   0: a1   1: b1   2: c1   3: a2   4: b2   5: c2
 #   6: sgn (sign of cz, +-1)   7: |cz|   8: 1/cz
 #   9: z1  10: z2  11: z3  12: global triangle index (exact in f32, T < 2^24)
-RECORD_LANES = 16  # padded for clean SMEM/VMEM layout
+# Varying lanes (driven by a pipelines.shaders.VARYING_SPECS entry) follow:
+# "interp" varyings contribute 3 lanes per component (v0, v1, v2); "const"
+# varyings 1 lane per component; "zfrag" reuses base lanes 9-11.
+BASE_LANES = 13
 
 
-def pack_triangle_records(setup, xp=jnp):
-    """(T, RECORD_LANES) f32 record per triangle from triangle_setup output."""
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def record_lanes(spec) -> int:
+    n = BASE_LANES
+    for name, comps, mode in spec or ():
+        if mode == "interp":
+            n += 3 * comps
+        elif mode == "const":
+            n += comps
+        elif mode.startswith("texidx"):
+            n += 6  # uv interp lanes; the kernel folds them into one plane
+    return _round_up(max(n, 16), 8)
+
+
+def pack_triangle_records(setup, spec=(), xp=jnp):
+    """(T, record_lanes(spec)) f32 record per triangle."""
+    from ..pipelines.shaders import _CONST_SOURCES, _INTERP_SOURCES
+
     czf = setup["cz"].astype(xp.float32)
     safe = xp.where(setup["cz"] == 0, xp.float32(1.0), czf)
     sgn = xp.where(czf < 0, xp.float32(-1.0), xp.float32(1.0))
@@ -58,16 +79,28 @@ def pack_triangle_records(setup, xp=jnp):
         setup["zv"][:, 2],
         xp.arange(T, dtype=xp.float32) if xp is jnp else xp.arange(T, dtype=np.float32),
     ]
+    for name, comps, mode in spec or ():
+        if mode == "interp":
+            for c in range(comps):
+                for v in range(3):
+                    cols.append(_INTERP_SOURCES[name](setup, c, v))
+        elif mode == "const":
+            for c in range(comps):
+                cols.append(_CONST_SOURCES[name](setup, c))
+        elif mode.startswith("texidx"):
+            for c in range(2):
+                for v in range(3):
+                    cols.append(_INTERP_SOURCES["uv"](setup, c, v))
     rec = xp.stack(cols, axis=-1)
-    pad = RECORD_LANES - rec.shape[-1]
+    pad = record_lanes(spec) - rec.shape[-1]
     return xp.pad(rec, [(0, 0), (0, pad)])
 
 
-def bin_triangles(setup, config):
+def bin_triangles(setup, config, spec=()):
     """Bin triangles into screen tiles.
 
     Returns:
-      tile_records: (num_tiles, max_tris_per_tile, RECORD_LANES) f32,
+      tile_records: (num_tiles, max_tris_per_tile, record_lanes(spec)) f32,
         triangle indices ascending within each tile
       counts: (num_tiles,) i32 — triangles binned per tile (clamped to max)
       overflowed: () bool — any coverage cap was hit
@@ -125,6 +158,6 @@ def bin_triangles(setup, config):
     in_range = jnp.arange(max_t, dtype=jnp.int32)[None, :] < counts[:, None]
     gather_ids = jnp.where(in_range, jnp.minimum(tri_of_slot, T - 1), jnp.int32(T - 1))
 
-    records = pack_triangle_records(setup, jnp)
+    records = pack_triangle_records(setup, spec, jnp)
     tile_records = records[gather_ids]
     return tile_records, counts, overflowed

@@ -1,23 +1,26 @@
 """Pallas TPU raster kernel — the performance path.
 
 Grid = screen tiles; each grid step owns one (tile_h x tile_w) tile of the
-z/index targets in VMEM and loops over the triangles binned to that tile
-(ops/binning.py), evaluating the tile's coverage and depth for one triangle
-per iteration as dense VPU ops.
+z / index / varying targets in VMEM and loops over the triangles binned to
+that tile (ops/binning.py) in two phases:
 
-Determinism / reference semantics (SURVEY.md §2.2.3):
-* triangles are visited in ascending global index order (binning sorts),
-* the depth update is strict (z > best), so equal-z fragments keep the
-  earliest triangle — exactly the serial reference's
-  `z <= stored -> reject` rule (shader.rs:169-180);
-* coverage tests are exact integer sign tests (values < 2^24 held in f32),
-  provably equal to the reference's post-division comparisons
-  (src/scene.rs:174-197 + :245).
+* **Phase 1 — depth resolve**: per triangle, exact integer coverage tests
+  (src/scene.rs:174-197 over integer raster coords; values < 2^24 held in
+  f32) and a strict `z > best` update.  Triangles are visited in ascending
+  global index order (binning sorts), so equal-z fragments keep the earliest
+  triangle — exactly the serial reference's `z <= stored -> reject` rule
+  (shader.rs:169-180).  Deterministic and bit-stable.
+* **Phase 2 — varying interpolation**: per triangle, pixels it won
+  (idx == tri) get their varyings (uv, diffuse intensity, depth, Darboux
+  pieces — see pipelines.shaders.VARYING_SPECS) interpolated with the
+  reference's exact-division barycentrics.  This replaces the per-pixel
+  attribute *gathers* of classic deferred shading: the triangle's attributes
+  are scalars in registers here, so interpolation is a handful of broadcast
+  FMAs per plane — measured ~6x cheaper than gathering per pixel on TPU.
 
-The per-triangle records live in SMEM ((1, max_t, 16) block per tile) so the
-inner loop reads scalars; the pixel-space evaluation is a handful of f32
-FMA/select ops on the (tile_h, tile_w) block — VPU-shaped work with zero
-HBM traffic inside the loop.
+The per-triangle records live in SMEM ((1, max_t, L) block per tile); the
+pixel-space evaluation is dense f32 VPU work with zero HBM traffic inside
+the loops.
 """
 
 from __future__ import annotations
@@ -29,16 +32,55 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .binning import BASE_LANES
 from .mathlib import F32_MIN
 
 
-def _raster_kernel(counts_ref, rec_ref, z_ref, idx_ref, *, tile_h, tile_w, tiles_x):
+def _plane_layout(spec):
+    """[(mode, record_lane, plane_index)] for each output plane of `spec`.
+
+    mode "texidx:W:H" consumes 6 record lanes (uv per-vertex values) and
+    produces one plane holding the flat texel index (exact integer in f32).
+    """
+    planes = []
+    lane = BASE_LANES
+    p = 0
+    for name, comps, mode in spec or ():
+        if mode.startswith("texidx"):
+            planes.append((mode, lane, p))
+            lane += 6
+            p += 1
+            continue
+        for _ in range(comps):
+            if mode == "interp":
+                planes.append(("interp", lane, p))
+                lane += 3
+            elif mode == "const":
+                planes.append(("const", lane, p))
+                lane += 1
+            else:  # zfrag — interpolates base z lanes 9..11
+                planes.append(("zfrag", 9, p))
+            p += 1
+    return planes
+
+
+def _raster_kernel(
+    counts_ref, rec_ref, z_ref, *rest, tile_h, tile_w, tiles_x, spec, emit_idx
+):
+    planes = _plane_layout(spec)
+    rest = list(rest)
+    idx_ref = rest.pop(0) if emit_idx or planes else None
+    vary_ref = rest.pop(0) if planes else None
+
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     count = counts_ref[ty * tiles_x + tx]
 
     z_ref[:] = jnp.full((tile_h, tile_w), F32_MIN, jnp.float32)
-    idx_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    if idx_ref is not None:
+        idx_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    if vary_ref is not None:
+        vary_ref[:] = jnp.zeros_like(vary_ref)
 
     # Pixel coordinates of this tile (f32 holding exact integers).
     pxf = (
@@ -48,13 +90,19 @@ def _raster_kernel(counts_ref, rec_ref, z_ref, idx_ref, *, tile_h, tile_w, tiles
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + ty * tile_h
     ).astype(jnp.float32)
 
-    def body(k, _):
+    def edge_functions(k):
         a1 = rec_ref[0, k, 0]
         b1 = rec_ref[0, k, 1]
         c1 = rec_ref[0, k, 2]
         a2 = rec_ref[0, k, 3]
         b2 = rec_ref[0, k, 4]
         c2 = rec_ref[0, k, 5]
+        cx = a1 * pxf + b1 * pyf + c1
+        cy = a2 * pxf + b2 * pyf + c2
+        return cx, cy
+
+    def depth_body(k, _):
+        cx, cy = edge_functions(k)
         sgn = rec_ref[0, k, 6]
         absz = rec_ref[0, k, 7]
         rcz = rec_ref[0, k, 8]
@@ -63,15 +111,11 @@ def _raster_kernel(counts_ref, rec_ref, z_ref, idx_ref, *, tile_h, tile_w, tiles
         z3 = rec_ref[0, k, 11]
         gidx = rec_ref[0, k, 12]
 
-        # Exact integer edge functions (scene.rs:174-197).
-        cx = a1 * pxf + b1 * pyf + c1
-        cy = a2 * pxf + b2 * pyf + c2
         cxs = cx * sgn
         cys = cy * sgn
         zero = jnp.float32(0.0)
         inside = (cxs >= zero) & (cys >= zero) & (absz - cxs - cys >= zero)
 
-        # Barycentric interpolation of z (shader.rs:174: bar . z_values).
         u = cx * rcz
         v = cy * rcz
         w = jnp.float32(1.0) - (cx + cy) * rcz
@@ -80,35 +124,113 @@ def _raster_kernel(counts_ref, rec_ref, z_ref, idx_ref, *, tile_h, tile_w, tiles
         cur = z_ref[:]
         better = inside & (zval > cur)
         z_ref[:] = jnp.where(better, zval, cur)
-        idx_ref[:] = jnp.where(better, jnp.int32(gidx), idx_ref[:])
+        if idx_ref is not None:
+            idx_ref[:] = jnp.where(better, jnp.int32(gidx), idx_ref[:])
         return 0
 
-    jax.lax.fori_loop(0, count, body, 0)
+    jax.lax.fori_loop(0, count, depth_body, 0)
+
+    if not planes:
+        return
+
+    def vary_body(k, _):
+        gidx = rec_ref[0, k, 12]
+        mask = idx_ref[:] == jnp.int32(gidx)
+        cx, cy = edge_functions(k)
+        sgn = rec_ref[0, k, 6]
+        absz = rec_ref[0, k, 7]
+        # Exact-division barycentrics (scene.rs:192-196): cx/cz computed as
+        # (cx*sgn)/|cz| — the sign flip is exact, so the rounding matches the
+        # reference's single division by cz bit-for-bit.
+        u = (cx * sgn) / absz
+        v = (cy * sgn) / absz
+        w = jnp.float32(1.0) - ((cx + cy) * sgn) / absz
+        for mode, lane, p in planes:
+            if mode == "const":
+                val = jnp.full((tile_h, tile_w), rec_ref[0, k, lane])
+            elif mode.startswith("texidx"):
+                # Fold uv interpolation + the reference's texel addressing
+                # ((uv*dim) as u32 then clamp, util.rs:35-40 + our clamp
+                # divergence) into one exact-integer-in-f32 index plane.
+                _, tw_, th_ = mode.split(":")
+                wdim = jnp.float32(int(tw_))
+                hdim = jnp.float32(int(th_))
+                uu = (rec_ref[0, k, lane] * w + rec_ref[0, k, lane + 1] * u) + rec_ref[0, k, lane + 2] * v
+                vv = (rec_ref[0, k, lane + 3] * w + rec_ref[0, k, lane + 4] * u) + rec_ref[0, k, lane + 5] * v
+                zero = jnp.float32(0.0)
+                xw = uu * wdim
+                yw = vv * hdim
+                xw = jnp.where(jnp.isnan(xw), zero, xw)
+                yw = jnp.where(jnp.isnan(yw), zero, yw)
+                cxp = jnp.minimum(jnp.trunc(jnp.maximum(xw, zero)), wdim - 1.0)
+                cyp = jnp.minimum(jnp.trunc(jnp.maximum(yw, zero)), hdim - 1.0)
+                val = cyp * wdim + cxp
+            else:  # interp / zfrag: (a0*w + a1*u) + a2*v
+                a0 = rec_ref[0, k, lane]
+                a1 = rec_ref[0, k, lane + 1]
+                a2 = rec_ref[0, k, lane + 2]
+                val = (a0 * w + a1 * u) + a2 * v
+            vary_ref[p] = jnp.where(mask, val, vary_ref[p])
+        return 0
+
+    jax.lax.fori_loop(0, count, vary_body, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_h", "tile_w", "tiles_y", "tiles_x", "interpret")
+    jax.jit,
+    static_argnames=(
+        "tile_h", "tile_w", "tiles_y", "tiles_x", "spec", "emit_idx", "interpret",
+    ),
 )
 def rasterize_pallas(
-    tile_records, counts, *, tile_h, tile_w, tiles_y, tiles_x, interpret=False
+    tile_records,
+    counts,
+    *,
+    tile_h,
+    tile_w,
+    tiles_y,
+    tiles_x,
+    spec=(),
+    emit_idx=True,
+    interpret=False,
 ):
     """Run the raster kernel.
 
     Args:
-      tile_records: (num_tiles, max_t, RECORD_LANES) f32 from bin_triangles,
-        triangle indices ascending within each tile.
+      tile_records: (num_tiles, max_t, record_lanes(spec)) f32 from
+        bin_triangles, triangle indices ascending within each tile.
       counts: (num_tiles,) i32.
+      spec: pipelines.shaders.VARYING_SPECS entry (static).
+      emit_idx: write the winning-triangle-index target.  Depth-only passes
+        (the shadow map, shader.rs:694-709) need only max z — skipping the
+        index output saves its full HBM write.
 
-    Returns (z, idx) of shape (tiles_y*tile_h, tiles_x*tile_w): winning depth
-    (F32_MIN where uncovered) and winning triangle index (-1 where uncovered).
+    Returns (z, idx, varyings) of spatial shape (tiles_y*tile_h,
+    tiles_x*tile_w): winning depth (F32_MIN where uncovered), winning
+    triangle index (-1 where uncovered; None if not emitted), and the
+    (num_planes, H, W) f32 interpolated varyings (None if spec is empty).
     """
     max_t = tile_records.shape[1]
     lanes = tile_records.shape[2]
     H = tiles_y * tile_h
     W = tiles_x * tile_w
+    n_planes = sum(c for (_, c, _) in spec) if spec else 0
+    with_idx = emit_idx or n_planes > 0  # phase 2 reads the index target
 
     def record_index_map(ty, tx, counts_ref):
         return (ty * tiles_x + tx, 0, 0)
+
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, c: (ty, tx))
+    out_specs = [tile_spec]
+    out_shape = [jax.ShapeDtypeStruct((H, W), jnp.float32)]
+    if with_idx:
+        out_specs.append(tile_spec)
+        out_shape.append(jax.ShapeDtypeStruct((H, W), jnp.int32))
+    if n_planes:
+        out_specs.append(
+            pl.BlockSpec((n_planes, tile_h, tile_w), lambda ty, tx, c: (0, ty, tx))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_planes, H, W), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -116,22 +238,25 @@ def rasterize_pallas(
         in_specs=[
             pl.BlockSpec((1, max_t, lanes), record_index_map, memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, c: (ty, tx)),
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, c: (ty, tx)),
-        ],
+        out_specs=out_specs,
     )
 
     kernel = functools.partial(
-        _raster_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x
+        _raster_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        spec=spec,
+        emit_idx=with_idx,
     )
-    z, idx = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((H, W), jnp.float32),
-            jax.ShapeDtypeStruct((H, W), jnp.int32),
-        ],
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(counts, tile_records)
-    return z, idx
+    outs = list(outs)
+    z = outs.pop(0)
+    idx = outs.pop(0) if with_idx else None
+    varys = outs.pop(0) if n_planes else None
+    return z, idx, varys

@@ -141,10 +141,23 @@ def triangle_setup(geom, uniforms, config, *, matrix_key="vpmv", cull=True, need
         out["intensity"] = ml.dot3(uniforms["t_light_direction"], t_n)
     if "darboux" in needs:
         # Transformed positions (m) and normals (it_m) per vertex
-        # (shader.rs:561-584) for the per-fragment Darboux basis.
-        out["t_pos"] = ml.mat4_transform_point(uniforms["m"], pos, xp)
+        # (shader.rs:561-584) for the per-fragment Darboux basis.  The
+        # reference recomputes the basis rows and uv deltas per fragment, but
+        # they are per-triangle constants — precompute them here once.
+        t_pos = ml.mat4_transform_point(uniforms["m"], pos, xp)
         n = tris["normal"]
         out["t_norm"] = ml.normalize3(
             ml.mat4_transform_vector(uniforms["it_m"], n, xp), xp
+        )
+        # vertex_t_positions * (-1,1,0) = p1 - p0; * (-1,0,1) = p2 - p0
+        # (shader.rs:612-623), normalized.
+        out["row0n"] = ml.normalize3(t_pos[:, 1] - t_pos[:, 0], xp)
+        out["row1n"] = ml.normalize3(t_pos[:, 2] - t_pos[:, 0], xp)
+        # uv deltas (shader.rs:632-643): (u1-u0, u2-u0) and (v1-v0, v2-v0).
+        out["du"] = xp.stack(
+            [uv[:, 1, 0] - uv[:, 0, 0], uv[:, 2, 0] - uv[:, 0, 0]], axis=-1
+        )
+        out["dv"] = xp.stack(
+            [uv[:, 1, 1] - uv[:, 0, 1], uv[:, 2, 1] - uv[:, 0, 1]], axis=-1
         )
     return out

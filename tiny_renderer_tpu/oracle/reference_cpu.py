@@ -24,6 +24,7 @@ from ..ops import mathlib as ml
 from ..ops.vertex import triangle_setup
 from ..pipelines import shaders
 from ..pipelines.frame import PIPELINES, _GATHER_KEYS
+from ..pipelines.shaders import VARYING_SPECS, compute_varyings
 
 
 def _raster_serial(setup, height, width, *, shadow_mode=False):
@@ -137,9 +138,12 @@ def render_oracle(geom, textures, light_direction, look_from, look_at, up, *, pi
     z, idx = _raster_serial(setup, H, W)
 
     frag = _gather_fragments_np(setup, idx, _GATHER_KEYS[pipeline])
+    varys = compute_varyings(frag, VARYING_SPECS[pipeline], np)
+    varys["x"] = frag["x"]
+    varys["y"] = frag["y"]
     if spec.two_pass:
-        frag["shadow_buffer"] = shadow_z
-    colors = spec.shade(frag, uniforms, textures, config, np)
+        varys["shadow_buffer"] = shadow_z
+    colors = spec.shade(varys, uniforms, textures, config, np)
 
     covered = (idx >= 0)[..., None]
     frame = np.where(covered, colors, np.uint8(0))

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops import mathlib as ml
 from ..ops.raster_jnp import rasterize_jnp
 from ..ops.vertex import triangle_setup
-from ..pipelines.frame import PIPELINES, _GATHER_KEYS, _gather_fragments
+from ..pipelines.frame import PIPELINES, _shade_jnp_path
 
 
 def make_row_mesh(devices=None, batch: int = 1):
@@ -73,7 +73,7 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
     z, idx = rasterize_jnp(setup, rows_per_shard, W, config.tri_block, y_offset=y0)
 
-    frag = _gather_fragments(setup, idx, _GATHER_KEYS[pipeline], config, y_offset=y0)
+    frag = _shade_jnp_path(setup, idx, pipeline, config, y_offset=y0)
     if spec.two_pass:
         frag["shadow_buffer"] = shadow_full
     colors = spec.shade(frag, uniforms, textures, config, jnp)

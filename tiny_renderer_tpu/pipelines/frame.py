@@ -3,10 +3,10 @@
 The reference renders a frame as serial passes -> polygons -> pixels with
 host-side closures (src/scene.rs:199-267).  Here a frame is ONE jit-compiled
 function per (pipeline, config): uniforms -> batched vertex stage -> binned
-raster -> deferred shading, with two-pass pipelines (shadow, occlusion)
-running both raster passes inside the same program — no host round-trips;
-the only host<->device traffic is camera/light vectors in, u8 frame out
-(SURVEY.md §5.8).
+raster (with in-kernel varying interpolation on the Pallas path) -> shading,
+with two-pass pipelines (shadow, occlusion) running both raster passes
+inside the same program — no host round-trips; the only host<->device
+traffic is camera/light vectors in, u8 frame out (SURVEY.md §5.8).
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ from ..ops.raster_jnp import rasterize_jnp
 from ..ops.raster_pallas import rasterize_pallas
 from ..ops.vertex import triangle_setup
 from . import shaders
+from .shaders import VARYING_SPECS, compute_varyings, kernel_varying_spec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,44 +48,90 @@ PIPELINES = {
     "occlusion": PipelineSpec("occlusion", (), shaders.shade_occlusion, two_pass=True),
 }
 
-# Fragment attribute keys each shading pass gathers from the vertex setup.
+# Texture maps each pipeline samples (for word-packing, shaders.pack_textures).
+_PIPELINE_MAPS = {
+    "default": ("texture",),
+    "phong": ("texture",),
+    "normal_map": ("texture", "normal_map"),
+    "specular": ("texture", "normal_map", "specular_map"),
+    "darboux": ("texture", "normal_map_tangent"),
+    "shadow": ("texture",),
+    "occlusion": (),
+}
+
+# Vertex-attribute keys the reference (gather) path fetches per fragment to
+# feed compute_varyings.
 _GATHER_KEYS = {
     "default": ("uv", "intensity"),
     "phong": ("uv", "intensity"),
     "normal_map": ("uv",),
     "specular": ("uv",),
-    "darboux": ("uv", "t_pos", "t_norm"),
+    "darboux": ("uv", "t_norm", "row0n", "row1n", "du", "dv"),
     "shadow": ("uv", "intensity", "zv"),
-    "occlusion": ("uv", "zv"),
+    "occlusion": ("zv",),
 }
 
 
-def _rasterize(setup, config, backend):
-    """Backend dispatch; returns (z, idx) cropped to (height, width)."""
+def _rasterize(setup, config, backend, spec=(), emit_idx=True):
+    """Backend dispatch.
+
+    Returns (z, idx, varys) cropped to (height, width); varys is None on the
+    jnp backend (the gather path computes varyings).  The crops are lazy
+    slices that XLA fuses into consumers — keeping shading (and especially
+    its per-pixel gathers, the dominant cost) at the unpadded pixel count.
+    """
+    H, W = config.height, config.width
     if backend == "jnp":
-        return rasterize_jnp(setup, config.height, config.width, config.tri_block)
-    records, counts, _ = bin_triangles(setup, config)
-    z, idx = rasterize_pallas(
+        z, idx = rasterize_jnp(setup, H, W, config.tri_block)
+        return z, idx, None
+    records, counts, _ = bin_triangles(setup, config, spec)
+    z, idx, varys = rasterize_pallas(
         records,
         counts,
         tile_h=config.tile_h,
         tile_w=config.tile_w,
         tiles_y=config.tiles_y,
         tiles_x=config.tiles_x,
+        spec=spec,
+        emit_idx=emit_idx,
         interpret=(backend == "pallas_interpret"),
     )
-    return z[: config.height, : config.width], idx[: config.height, : config.width]
+    return (
+        z[:H, :W],
+        idx[:H, :W] if idx is not None else None,
+        varys[:, :H, :W] if varys is not None else None,
+    )
+
+
+def _pixel_coords(H, W, y_offset=0):
+    px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + y_offset
+    return px, py
+
+
+def _fragments_from_planes(spec, varys, H, W, y_offset=0):
+    """Fragment dict from the kernel's interpolated varying planes."""
+    frag = {}
+    p = 0
+    for name, comps, _mode in spec:
+        if comps == 1:
+            frag[name] = varys[p]
+        else:
+            frag[name] = jnp.moveaxis(varys[p : p + comps], 0, -1)
+        p += comps
+    frag["x"], frag["y"] = _pixel_coords(H, W, y_offset)
+    return frag
 
 
 def _gather_fragments(setup, idx, keys, config, y_offset=0):
-    """Build per-pixel fragment inputs for deferred shading.
+    """Reference-path fragment inputs: per-pixel gather of vertex attributes.
 
-    All of the winning triangle's varyings are packed into ONE (T, L) f32
-    matrix and fetched with a single per-pixel gather (TPU gathers cost per
-    row, so one wide gather beats many narrow ones), then barycentric
+    All attributes are packed into ONE (T, L) f32 matrix and fetched with a
+    single per-pixel gather (TPU gathers cost per row), then barycentric
     coordinates are recomputed with the reference's exact f32 expression
-    (scene.rs:192-196) — exact divisions, matching the oracle bit-for-bit.
-    The edge coefficients are integers < 2^24, exact in f32.
+    (scene.rs:192-196).  The edge coefficients are integers < 2^24, exact in
+    f32.  Used by the jnp backend and the sharded path; the NumPy oracle
+    mirrors this in oracle/reference_cpu.py.
     """
     H, W = idx.shape
     safe = jnp.maximum(idx, 0)
@@ -113,8 +160,7 @@ def _gather_fragments(setup, idx, keys, config, y_offset=0):
     for k, (start, width, shape) in layout.items():
         frag[k] = g[..., start : start + width].reshape(H, W, *shape)
 
-    px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + y_offset
+    px, py = _pixel_coords(H, W, y_offset)
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
     cxf = (g[..., 0] * pxf + g[..., 1] * pyf) + g[..., 2]
@@ -126,6 +172,15 @@ def _gather_fragments(setup, idx, keys, config, y_offset=0):
     frag["x"] = px
     frag["y"] = py
     return frag
+
+
+def _shade_jnp_path(setup, idx, pipeline, config, y_offset=0):
+    """Gather + compute_varyings for the non-Pallas backends."""
+    frag = _gather_fragments(setup, idx, _GATHER_KEYS[pipeline], config, y_offset)
+    varys = compute_varyings(frag, VARYING_SPECS[pipeline], jnp)
+    varys["x"] = frag["x"]
+    varys["y"] = frag["y"]
+    return varys
 
 
 def render_frame(
@@ -146,6 +201,7 @@ def render_frame(
     layout before the presentation flip, scene.rs:92-97).
     """
     spec = PIPELINES[pipeline]
+    vspec = VARYING_SPECS[pipeline]
     H, W = config.height, config.width
 
     if spec.two_pass:
@@ -153,7 +209,7 @@ def render_frame(
         setup1 = triangle_setup(
             geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
         )
-        shadow_z, _ = _rasterize(setup1, config, backend)
+        shadow_z, _, _ = _rasterize(setup1, config, backend, spec=(), emit_idx=False)
         uniforms = ml.shadow_pass_2_prepare(
             config, light_direction, look_from, look_at, up, jnp
         )
@@ -165,16 +221,50 @@ def render_frame(
         shadow_z = jnp.full((H, W), ml.F32_MIN, jnp.float32)
 
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
-    z, idx = _rasterize(setup, config, backend)
+    kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
+    z, idx, varys = _rasterize(setup, config, backend, spec=kspec)
 
-    frag = _gather_fragments(setup, idx, _GATHER_KEYS[pipeline], config)
+    if varys is None:
+        frag = _shade_jnp_path(setup, idx, pipeline, config)
+    else:
+        frag = _fragments_from_planes(kspec, varys, H, W)
+        _add_const_gather(frag, kspec, vspec, setup, idx)
     if spec.two_pass:
         frag["shadow_buffer"] = shadow_z
+    if _pk_needed(textures, pipeline):
+        textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
     colors = spec.shade(frag, uniforms, textures, config, jnp)
 
     covered = (idx >= 0)[..., None]
     frame = jnp.where(covered, colors, jnp.uint8(0))
     return {"frame": frame, "z": z, "shadow": shadow_z}
+
+
+def _add_const_gather(frag, kspec, vspec, setup, idx):
+    """Per-triangle constants dropped from the kernel spec (darboux rows/uv
+    deltas) are fetched with one small per-pixel gather of a packed table —
+    cheaper than broadcasting each as a full plane."""
+    dropped = [e for e in vspec if e[2] == "const" and e not in kspec]
+    if not dropped:
+        return
+    key_of = {"row0": "row0n", "row1": "row1n", "du": "du", "dv": "dv"}
+    table = jnp.concatenate([setup[key_of[n]] for (n, _, _) in dropped], axis=1)
+    g = table[jnp.maximum(idx, 0)]  # (H, W, total)
+    pos = 0
+    for name, comps, _ in dropped:
+        frag[name] = g[..., pos : pos + comps]
+        pos += comps
+
+
+def _pk_needed(textures, pipeline):
+    names = _PIPELINE_MAPS[pipeline]
+    return bool(names) and shaders._pk_key(names) not in textures
+
+
+def prepack_textures(textures, pipeline, xp=jnp):
+    """Pre-pack the word-packed texture plane for a pipeline once (e.g. at
+    Scene construction) so per-frame rendering skips the repack traffic."""
+    return shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], xp)
 
 
 @functools.partial(jax.jit, static_argnames=("pipeline", "config", "backend"))

@@ -1,12 +1,20 @@
 """The 7 shader pipelines as pure, vectorized fragment functions.
 
-Each reference fragment shader (src/scene/shader.rs:282-963) becomes a pure
-function over batched fragment data: any leading batch shape (the JAX
-renderer uses (H, W), the NumPy oracle uses flat (N,)) with per-fragment
-triangle attributes already gathered.  Immediate-mode shading in the
-reference is output-equivalent to this deferred shading because fragment
-shaders have no side effects besides the z/shadow writes the raster stage
-already resolved (SURVEY.md §2.2.4).
+Each reference fragment shader (src/scene/shader.rs:282-963) is split into
+two pure stages shared by every execution path:
+
+1. **Varying interpolation** (`VARYING_SPECS` + `compute_varyings`): the
+   barycentric interpolation (or per-triangle broadcast) of the quantities a
+   fragment needs — uv, diffuse intensity, depth, the Darboux basis pieces.
+   On the Pallas path these are produced *inside the raster kernel* (zero
+   per-pixel gathers); on the jnp/oracle path `compute_varyings` computes
+   them from gathered vertex attributes with the identical expressions.
+2. **Shading** (`shade_*`): pure functions over the interpolated varyings +
+   texture fetches, for any leading batch shape.
+
+Immediate-mode shading in the reference is output-equivalent to this
+deferred form because its fragment shaders have no side effects besides the
+z/shadow writes the raster stage already resolved (SURVEY.md §2.2.4).
 
 xp-agnostic: the same code runs under numpy (oracle) and jax.numpy (device).
 """
@@ -19,6 +27,140 @@ from ..ops import mathlib as ml
 
 BLACK = np.zeros(3, dtype=np.uint8)
 WHITE = np.full(3, 255, dtype=np.uint8)
+
+# ---------------------------------------------------------------------------
+# Varying specifications
+#
+# Each pipeline's fragment stage consumes a fixed list of varyings:
+#   (name, components, mode) with mode:
+#     "interp" — barycentric interpolation of 3 per-vertex values
+#     "const"  — per-triangle constant broadcast
+#     "zfrag"  — bar . vertex_z_values (shader.rs:174), from the base record
+# The raster kernel and compute_varyings both follow this spec.
+# ---------------------------------------------------------------------------
+
+VARYING_SPECS = {
+    "default": (("uv", 2, "interp"), ("intensity", 1, "interp")),
+    "phong": (("uv", 2, "interp"), ("intensity", 1, "interp")),
+    "normal_map": (("uv", 2, "interp"),),
+    "specular": (("uv", 2, "interp"),),
+    "darboux": (
+        ("uv", 2, "interp"),
+        ("local_z", 3, "interp"),
+        ("row0", 3, "const"),
+        ("row1", 3, "const"),
+        ("du", 2, "const"),
+        ("dv", 2, "const"),
+    ),
+    "shadow": (("uv", 2, "interp"), ("intensity", 1, "interp"), ("zfrag", 1, "zfrag")),
+    "occlusion": (("zfrag", 1, "zfrag"),),
+}
+
+# Per-vertex / per-triangle sources in the triangle_setup output for each
+# varying: name -> (setup key, slicer).  For "interp", values[v][c] per
+# vertex; for "const", values[c].
+_INTERP_SOURCES = {
+    "uv": lambda s, c, v: s["uv"][:, v, c],
+    "intensity": lambda s, c, v: s["intensity"][:, v],
+    "local_z": lambda s, c, v: s["t_norm"][:, v, c],
+}
+_CONST_SOURCES = {
+    "row0": lambda s, c: s["row0n"][:, c],
+    "row1": lambda s, c: s["row1n"][:, c],
+    "du": lambda s, c: s["du"][:, c],
+    "dv": lambda s, c: s["dv"][:, c],
+}
+
+
+def num_planes(spec) -> int:
+    return sum(comps for (_, comps, _) in spec)
+
+
+def kernel_varying_spec(pipeline, textures):
+    """The spec actually used by the Pallas kernel for this pipeline.
+
+    Two traffic optimizations over the reference spec (each full-screen f32
+    plane costs real HBM bandwidth):
+    * the interpolated uv's only consumer is texture sampling, so when the
+      pipeline's maps share dimensions the kernel emits a single texel-index
+      plane ("texidx:W:H") instead of two uv planes;
+    * darboux's 10 per-triangle constants are cheaper as one small
+      per-pixel gather (frame.py) than as 10 broadcast planes — dropped here.
+    Falls back to the reference spec when texture dims are mixed.
+    """
+    spec = VARYING_SPECS[pipeline]
+    names = _PIPELINE_MAPS_FOR_SPEC.get(pipeline, ())
+    if not names:
+        return spec
+    dims = {textures[n].shape[:2] for n in names}
+    if "normal_map_tangent" in names:
+        dims.add(textures["normal_map"].shape[:2])
+    if len(dims) != 1:
+        return spec
+    h, w = next(iter(dims))
+    out = []
+    for name, comps, mode in spec:
+        if name == "uv":
+            out.append(("texidx", 1, f"texidx:{w}:{h}"))
+        elif mode == "const" and pipeline == "darboux":
+            continue  # fetched via the per-triangle constant gather
+        else:
+            out.append((name, comps, mode))
+    return tuple(out)
+
+
+# Texture maps per pipeline (duplicated from frame.py to avoid an import
+# cycle; frame.py asserts they match).
+_PIPELINE_MAPS_FOR_SPEC = {
+    "default": ("texture",),
+    "phong": ("texture",),
+    "normal_map": ("texture", "normal_map"),
+    "specular": ("texture", "normal_map", "specular_map"),
+    "darboux": ("texture", "normal_map_tangent"),
+    "shadow": ("texture",),
+    "occlusion": (),
+}
+
+
+def compute_varyings(frag, spec, xp):
+    """Reference-path varying computation from per-fragment vertex attrs.
+
+    frag carries gathered per-fragment triangle attributes ("uv" (...,3,2),
+    "intensity" (...,3), "zv" (...,3), darboux constants) plus "bar".
+    Interpolation order matches nalgebra's accumulation:
+    (a0*b0 + a1*b1) + a2*b2.
+    """
+    bar = frag["bar"]
+    b0, b1, b2 = bar[..., 0], bar[..., 1], bar[..., 2]
+    out = {}
+    for name, comps, mode in spec:
+        if mode == "zfrag":
+            zv = frag["zv"]
+            out[name] = (zv[..., 0] * b0 + zv[..., 1] * b1) + zv[..., 2] * b2
+        elif mode == "interp":
+            if name == "uv":
+                a = frag["uv"]  # (..., 3, 2)
+                vals = [
+                    (a[..., 0, c] * b0 + a[..., 1, c] * b1) + a[..., 2, c] * b2
+                    for c in range(2)
+                ]
+                out[name] = xp.stack(vals, axis=-1)
+            elif name == "intensity":
+                a = frag["intensity"]
+                out[name] = (a[..., 0] * b0 + a[..., 1] * b1) + a[..., 2] * b2
+            elif name == "local_z":
+                a = frag["t_norm"]  # (..., 3v, 3c)
+                vals = [
+                    (a[..., 0, c] * b0 + a[..., 1, c] * b1) + a[..., 2, c] * b2
+                    for c in range(3)
+                ]
+                out[name] = xp.stack(vals, axis=-1)
+            else:
+                raise KeyError(name)
+        else:  # const
+            key = {"row0": "row0n", "row1": "row1n", "du": "du", "dv": "dv"}[name]
+            out[name] = frag[key]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -90,13 +232,96 @@ _SAMPLERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Word-packed texture fetch.  u8 gathers are pathologically slow on TPU
+# (byte-granular); packing each texel's RGB into one i32 word makes the
+# fetch a native 32-bit gather (~10x faster), with shifts/masks on the VPU
+# to unpack.  Packing happens once per frame inside jit (pack_textures);
+# samplers transparently use the packed plane when present, so the NumPy
+# oracle (which never packs) keeps the plain u8 path.
+# ---------------------------------------------------------------------------
+
+
+def _pk_key(names) -> str:
+    return "_pk:" + ",".join(names)
+
+
+def pack_textures(textures, names, xp):
+    """Return a copy of `textures` with an (H, W, n) i32 packed plane for
+    `names` (one word per map per texel), when all relevant dims match."""
+    if not names:
+        return textures
+    texs = [textures[n] for n in names]
+    dims = {t.shape[:2] for t in texs}
+    if "normal_map_tangent" in names:
+        dims.add(textures["normal_map"].shape[:2])
+    if len(dims) != 1:
+        return textures
+    words = []
+    for t in texs:
+        ti = t.astype(xp.int32)
+        words.append(ti[..., 0] | (ti[..., 1] << 8) | (ti[..., 2] << 16))
+    out = dict(textures)
+    out[_pk_key(names)] = xp.stack(words, axis=-1)
+    return out
+
+
+def _unpack_rgb(word, xp):
+    """(...,) i32 word -> (..., 3) u8."""
+    r = (word & 0xFF).astype(xp.uint8)
+    g = ((word >> 8) & 0xFF).astype(xp.uint8)
+    b = ((word >> 16) & 0xFF).astype(xp.uint8)
+    return xp.stack([r, g, b], axis=-1)
+
+
+def sample_frag(textures, frag, names, xp):
+    """Sample the pipeline's maps for a fragment batch.
+
+    Uses the kernel-computed texel-index plane when present (one i32 gather,
+    no per-pixel coordinate math), else the uv path via sample_maps.
+    """
+    texidx = frag.get("texidx")
+    if texidx is None:
+        return sample_maps(textures, frag["uv"], names, xp)
+    pk = textures[_pk_key(names)]
+    flat = pk.reshape(-1, len(names))
+    g = flat[texidx.astype(xp.int32)]  # (..., n) i32 words
+    out = {}
+    for i, n in enumerate(names):
+        raw = _unpack_rgb(g[..., i], xp)
+        if n in ("normal_map", "normal_map_tangent"):
+            out[n] = _decode_normal(raw, xp)
+        elif n == "specular_map":
+            out[n] = raw[..., 0].astype(xp.float32)
+        else:
+            out[n] = raw
+    return out
+
+
 def sample_maps(textures, uv, names, xp):
-    """Fetch several maps at one uv, with a single packed gather when all
-    maps share dimensions (TPU gathers cost per row — one wide fetch beats
-    several narrow ones).  Falls back to the per-map samplers (preserving
-    the tangent-map dimension quirk, util.rs:61-70) on mismatched dims.
+    """Fetch several maps at one uv with ONE gather: prefers the word-packed
+    i32 plane from pack_textures, else a channel-concat u8 gather when all
+    maps share dimensions, else falls back to the per-map samplers
+    (preserving the tangent-map dimension quirk, util.rs:61-70).
     Returns {name: decoded sample} matching the individual samplers.
     """
+
+    def decode(n, raw):
+        if n in ("normal_map", "normal_map_tangent"):
+            return _decode_normal(raw, xp)
+        if n == "specular_map":
+            return raw[..., 0].astype(xp.float32)
+        return raw
+
+    pk = textures.get(_pk_key(names))
+    if pk is not None:
+        h, w = pk.shape[:2]
+        cx, cy = _tex_coords(uv, w, h, xp)
+        g = pk[cy, cx]  # (..., n) i32 words — the one (native-width) gather
+        return {
+            n: decode(n, _unpack_rgb(g[..., i], xp)) for i, n in enumerate(names)
+        }
+
     texs = [textures[n] for n in names]
     dims = {t.shape[:2] for t in texs}
     # The tangent map's texel coords come from the *normal_map* dims
@@ -110,36 +335,7 @@ def sample_maps(textures, uv, names, xp):
     h, w = texs[0].shape[:2]
     cx, cy = _tex_coords(uv, w, h, xp)
     g = packed[cy, cx]  # (..., 3 * len(names))
-    out = {}
-    for i, n in enumerate(names):
-        raw = g[..., 3 * i : 3 * i + 3]
-        if n in ("normal_map", "normal_map_tangent"):
-            out[n] = _decode_normal(raw, xp)
-        elif n == "specular_map":
-            out[n] = raw[..., 0].astype(xp.float32)
-        else:
-            out[n] = raw
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Shared fragment helpers
-# ---------------------------------------------------------------------------
-
-
-def interp_uv(frag, xp):
-    """uv = vertex_uvs * bar (Matrix2x3 * Vector3 row dots, shader.rs:327)."""
-    bar = frag["bar"]
-    uvs = frag["uv"]  # (..., 3 vertices, 2)
-    u = (uvs[..., 0, 0] * bar[..., 0] + uvs[..., 1, 0] * bar[..., 1]) + uvs[..., 2, 0] * bar[..., 2]
-    v = (uvs[..., 0, 1] * bar[..., 0] + uvs[..., 1, 1] * bar[..., 1]) + uvs[..., 2, 1] * bar[..., 2]
-    return xp.stack([u, v], axis=-1)
-
-
-def frag_z(frag):
-    """bar . vertex_z_values (shader.rs:174)."""
-    bar, zv = frag["bar"], frag["zv"]
-    return (bar[..., 0] * zv[..., 0] + bar[..., 1] * zv[..., 1]) + bar[..., 2] * zv[..., 2]
+    return {n: decode(n, g[..., 3 * i : 3 * i + 3]) for i, n in enumerate(names)}
 
 
 def mat3_vec(m, v, xp):
@@ -168,31 +364,27 @@ def _shadow_fetch(shadow_buffer, sx, sy, width, xp):
 
 
 # ---------------------------------------------------------------------------
-# Pipelines
+# Pipelines.  Each shade function consumes the interpolated varyings of its
+# VARYING_SPECS entry (plus "x"/"y" pixel coords and "shadow_buffer" for the
+# two-pass pipelines).
 # ---------------------------------------------------------------------------
 
 
 def shade_default(frag, uniforms, textures, config, xp):
     """Flat shading (shader.rs:318-333): texture * face diffuse."""
-    uv = interp_uv(frag, xp)
-    color = sample_color(textures, uv, xp)
-    diff = frag["intensity"][..., 0]
-    return ml.color_blend(color, xp.asarray(BLACK), diff, xp)
+    color = sample_frag(textures, frag, ("texture",), xp)["texture"]
+    return ml.color_blend(color, xp.asarray(BLACK), frag["intensity"], xp)
 
 
 def shade_phong(frag, uniforms, textures, config, xp):
     """Gouraud-interpolated intensity (shader.rs:386-401)."""
-    uv = interp_uv(frag, xp)
-    color = sample_color(textures, uv, xp)
-    bar, ints = frag["bar"], frag["intensity"]
-    diff = (bar[..., 0] * ints[..., 0] + bar[..., 1] * ints[..., 1]) + bar[..., 2] * ints[..., 2]
-    return ml.color_blend(color, xp.asarray(BLACK), diff, xp)
+    color = sample_frag(textures, frag, ("texture",), xp)["texture"]
+    return ml.color_blend(color, xp.asarray(BLACK), frag["intensity"], xp)
 
 
 def shade_normal_map(frag, uniforms, textures, config, xp):
     """World-space normal map lookup (shader.rs:439-457)."""
-    uv = interp_uv(frag, xp)
-    s = sample_maps(textures, uv, ("texture", "normal_map"), xp)
+    s = sample_frag(textures, frag, ("texture", "normal_map"), xp)
     color, n = s["texture"], s["normal_map"]
     t_n = ml.normalize3(ml.mat4_transform_vector(uniforms["it_m"], n, xp), xp)
     diff = ml.dot3(uniforms["t_light_direction"], t_n)
@@ -201,8 +393,7 @@ def shade_normal_map(frag, uniforms, textures, config, xp):
 
 def shade_specular(frag, uniforms, textures, config, xp):
     """Normal-map diffuse + Phong specular (shader.rs:498-534)."""
-    uv = interp_uv(frag, xp)
-    s = sample_maps(textures, uv, ("texture", "normal_map", "specular_map"), xp)
+    s = sample_frag(textures, frag, ("texture", "normal_map", "specular_map"), xp)
     color = s["texture"].astype(xp.float32)
     n = s["normal_map"]
     t_n = ml.normalize3(ml.mat4_transform_vector(uniforms["it_m"], n, xp), xp)
@@ -224,39 +415,19 @@ def shade_specular(frag, uniforms, textures, config, xp):
 
 def shade_darboux(frag, uniforms, textures, config, xp):
     """Tangent-space (Darboux) normal mapping (shader.rs:597-654)."""
-    uv = interp_uv(frag, xp)
-    s = sample_maps(textures, uv, ("texture", "normal_map_tangent"), xp)
+    s = sample_frag(textures, frag, ("texture", "normal_map_tangent"), xp)
     color, tn_sample = s["texture"], s["normal_map_tangent"]
 
-    bar = frag["bar"]
-    t_pos = frag["t_pos"]    # (..., 3 vertices, 3)
-    t_norm = frag["t_norm"]  # (..., 3 vertices, 3)
-
-    # vertex_t_positions * (-1, 1, 0) = p1 - p0; * (-1, 0, 1) = p2 - p0.
-    row0 = ml.normalize3(t_pos[..., 1, :] - t_pos[..., 0, :], xp)
-    row1 = ml.normalize3(t_pos[..., 2, :] - t_pos[..., 0, :], xp)
-    # vertex_t_normals * bar (columns are vertex normals).
-    local_z = (
-        t_norm[..., 0, :] * bar[..., 0:1]
-        + t_norm[..., 1, :] * bar[..., 1:2]
-    ) + t_norm[..., 2, :] * bar[..., 2:3]
+    local_z = frag["local_z"]
     row2 = ml.normalize3(local_z, xp)
-    basis = xp.stack([row0, row1, row2], axis=-2)
+    basis = xp.stack([frag["row0"], frag["row1"], row2], axis=-2)
     i_basis = ml.mat3_inverse(basis, xp)
 
-    uvs = frag["uv"]
-    du = xp.stack(
-        [uvs[..., 1, 0] - uvs[..., 0, 0], uvs[..., 2, 0] - uvs[..., 0, 0],
-         xp.zeros_like(uvs[..., 0, 0])],
-        axis=-1,
-    )
-    dv = xp.stack(
-        [uvs[..., 1, 1] - uvs[..., 0, 1], uvs[..., 2, 1] - uvs[..., 0, 1],
-         xp.zeros_like(uvs[..., 0, 1])],
-        axis=-1,
-    )
-    local_x = mat3_vec(i_basis, du, xp)
-    local_y = mat3_vec(i_basis, dv, xp)
+    du = frag["du"]
+    dv = frag["dv"]
+    zeros = xp.zeros_like(du[..., 0])
+    local_x = mat3_vec(i_basis, xp.stack([du[..., 0], du[..., 1], zeros], axis=-1), xp)
+    local_y = mat3_vec(i_basis, xp.stack([dv[..., 0], dv[..., 1], zeros], axis=-1), xp)
 
     col_x = ml.normalize3(local_x, xp)
     col_y = ml.normalize3(local_y, xp)
@@ -271,14 +442,10 @@ def shade_darboux(frag, uniforms, textures, config, xp):
 
 
 def shade_shadow(frag, uniforms, textures, config, xp):
-    """Shadow pass 2 (shader.rs:749-788): phong + shadow-map depth compare.
-
-    `uniforms` must contain shadow_matrix (pass 1 vpmv), i_vpmv, and
-    `shadow_buffer` must be in frag (full (H, W) f32 from pass 1).
-    """
+    """Shadow pass 2 (shader.rs:749-788): phong + shadow-map depth compare."""
     x = frag["x"].astype(xp.float32)
     y = frag["y"].astype(xp.float32)
-    z = frag_z(frag)
+    z = frag["zfrag"]
     sm = ml.mat4_mul(uniforms["shadow_matrix"], uniforms["i_vpmv"])
     p = xp.stack([x, y, z], axis=-1)
     sc = ml.mat4_transform_point(sm, p, xp)
@@ -290,11 +457,10 @@ def shade_shadow(frag, uniforms, textures, config, xp):
         xp.float32(config.shadow_dim),
         xp.float32(1.0),
     )
-    uv = interp_uv(frag, xp)
-    color = sample_color(textures, uv, xp)
-    bar, ints = frag["bar"], frag["intensity"]
-    diff = (bar[..., 0] * ints[..., 0] + bar[..., 1] * ints[..., 1]) + bar[..., 2] * ints[..., 2]
-    return ml.color_blend(color, xp.asarray(BLACK), diff * shadow_coef, xp)
+    color = sample_frag(textures, frag, ("texture",), xp)["texture"]
+    return ml.color_blend(
+        color, xp.asarray(BLACK), frag["intensity"] * shadow_coef, xp
+    )
 
 
 def shade_occlusion(frag, uniforms, textures, config, xp):
@@ -302,7 +468,7 @@ def shade_occlusion(frag, uniforms, textures, config, xp):
     shadow buffer in the plane perpendicular to the light; grayscale output."""
     x = frag["x"].astype(xp.float32)
     y = frag["y"].astype(xp.float32)
-    z = frag_z(frag)
+    z = frag["zfrag"]
     p = xp.stack([x, y, z], axis=-1)
 
     light = ml.mat4_transform_vector(uniforms["i_m"], uniforms["t_light_direction"], xp)

@@ -49,12 +49,17 @@ class Scene:
             "tex_idx": jnp.asarray(mesh.tex_idx),
             "normal_idx": jnp.asarray(mesh.normal_idx),
         }
-        self._textures = {
-            "texture": jnp.asarray(model.texture),
-            "normal_map": jnp.asarray(model.normal_map),
-            "normal_map_tangent": jnp.asarray(model.normal_map_tangent),
-            "specular_map": jnp.asarray(model.specular_map),
-        }
+        from .pipelines.frame import prepack_textures
+
+        self._textures = prepack_textures(
+            {
+                "texture": jnp.asarray(model.texture),
+                "normal_map": jnp.asarray(model.normal_map),
+                "normal_map_tangent": jnp.asarray(model.normal_map_tangent),
+                "specular_map": jnp.asarray(model.specular_map),
+            },
+            pipeline_name,
+        )
         self._frame_fn = make_frame_fn(pipeline_name, self.config, backend)
 
         # Scene state (reference defaults, scene.rs:66-69).
