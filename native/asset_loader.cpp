@@ -195,3 +195,137 @@ int trt_decode_tga(const char* path, int32_t* out_h, int32_t* out_w, void** out_
 void trt_free(void* p) { std::free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// OBJ parser (counterpart of tiny_renderer_tpu/assets/obj.py).
+//
+// Returns dense arrays: positions (V,3) f32, tex_coords (VT,2) f32, normals
+// (VN,3) f32, and per-triangle index arrays (T,3) i32 for each attribute.
+// Faces must be position/texture/normal triplets; like the reference
+// (src/scene.rs:224-226) only the first three corners of a polygon are used.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Floats {
+  std::vector<float> v;
+};
+
+inline const char* skip_ws(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  return p;
+}
+
+inline const char* next_line(const char* p, const char* end) {
+  while (p < end && *p != '\n') ++p;
+  return p < end ? p + 1 : end;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; arrays are malloc'd, free each with trt_free.
+int trt_parse_obj(const char* path,
+                  int32_t* out_nv, float** out_pos,
+                  int32_t* out_nvt, float** out_uv,
+                  int32_t* out_nvn, float** out_norm,
+                  int32_t* out_nf, int32_t** out_pos_idx,
+                  int32_t** out_tex_idx, int32_t** out_norm_idx) {
+  *out_pos = *out_uv = *out_norm = nullptr;
+  *out_pos_idx = *out_tex_idx = *out_norm_idx = nullptr;
+
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(static_cast<size_t>(size));
+  if (size > 0 && std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+    std::fclose(f);
+    return 2;
+  }
+  std::fclose(f);
+
+  std::vector<float> pos, uv, norm;
+  std::vector<int32_t> pi, ti, ni;
+  const char* p = buf.data();
+  const char* end = buf.data() + buf.size();
+
+  while (p < end) {
+    const char* line_end = p;
+    while (line_end < end && *line_end != '\n') ++line_end;
+    p = skip_ws(p, line_end);
+    if (line_end - p >= 2 && p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
+      char* q = const_cast<char*>(p + 1);
+      for (int i = 0; i < 3; ++i) pos.push_back(std::strtof(q, &q));
+    } else if (line_end - p >= 3 && p[0] == 'v' && p[1] == 't') {
+      char* q = const_cast<char*>(p + 2);
+      uv.push_back(std::strtof(q, &q));
+      uv.push_back(std::strtof(q, &q));
+    } else if (line_end - p >= 3 && p[0] == 'v' && p[1] == 'n') {
+      char* q = const_cast<char*>(p + 2);
+      for (int i = 0; i < 3; ++i) norm.push_back(std::strtof(q, &q));
+    } else if (line_end - p >= 2 && p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
+      char* q = const_cast<char*>(p + 1);
+      int32_t corners[3][3];
+      int got = 0;
+      for (int c = 0; c < 3; ++c) {
+        q = const_cast<char*>(skip_ws(q, line_end));
+        if (q >= line_end) break;
+        long a = std::strtol(q, &q, 10);
+        if (q >= line_end || *q != '/') return 3;  // PTN required
+        ++q;
+        long b = std::strtol(q, &q, 10);
+        if (q >= line_end || *q != '/') return 3;
+        ++q;
+        long cc = std::strtol(q, &q, 10);
+        long nvp = static_cast<long>(pos.size() / 3);
+        long nvt = static_cast<long>(uv.size() / 2);
+        long nvn = static_cast<long>(norm.size() / 3);
+        corners[c][0] = static_cast<int32_t>(a > 0 ? a - 1 : nvp + a);
+        corners[c][1] = static_cast<int32_t>(b > 0 ? b - 1 : nvt + b);
+        corners[c][2] = static_cast<int32_t>(cc > 0 ? cc - 1 : nvn + cc);
+        ++got;
+      }
+      if (got == 3) {
+        for (int c = 0; c < 3; ++c) pi.push_back(corners[c][0]);
+        for (int c = 0; c < 3; ++c) ti.push_back(corners[c][1]);
+        for (int c = 0; c < 3; ++c) ni.push_back(corners[c][2]);
+      } else {
+        return 4;
+      }
+    }
+    p = next_line(line_end, end);
+  }
+
+  auto alloc_f = [](const std::vector<float>& src) -> float* {
+    float* out = static_cast<float*>(std::malloc(src.size() * sizeof(float) + 1));
+    if (out) std::memcpy(out, src.data(), src.size() * sizeof(float));
+    return out;
+  };
+  auto alloc_i = [](const std::vector<int32_t>& src) -> int32_t* {
+    int32_t* out = static_cast<int32_t*>(std::malloc(src.size() * sizeof(int32_t) + 1));
+    if (out) std::memcpy(out, src.data(), src.size() * sizeof(int32_t));
+    return out;
+  };
+
+  *out_nv = static_cast<int32_t>(pos.size() / 3);
+  *out_nvt = static_cast<int32_t>(uv.size() / 2);
+  *out_nvn = static_cast<int32_t>(norm.size() / 3);
+  *out_nf = static_cast<int32_t>(pi.size() / 3);
+  *out_pos = alloc_f(pos);
+  *out_uv = alloc_f(uv);
+  *out_norm = alloc_f(norm);
+  *out_pos_idx = alloc_i(pi);
+  *out_tex_idx = alloc_i(ti);
+  *out_norm_idx = alloc_i(ni);
+  if (!*out_pos || !*out_uv || !*out_norm || !*out_pos_idx || !*out_tex_idx || !*out_norm_idx) {
+    trt_free(*out_pos); trt_free(*out_uv); trt_free(*out_norm);
+    trt_free(*out_pos_idx); trt_free(*out_tex_idx); trt_free(*out_norm_idx);
+    return 5;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -39,6 +39,20 @@ def test_native_loader_matches_numpy(path):
     np.testing.assert_array_equal(nat, read_tga(path))
 
 
+@pytest.mark.parametrize("asset", ["diablo", "african_head"])
+def test_native_obj_matches_numpy(asset):
+    if not native.native_available():
+        pytest.skip("native loader not built")
+    from tiny_renderer_tpu.assets.obj import read_obj
+
+    p = os.path.join(ASSET_ROOT, asset, "model.obj")
+    m_py = read_obj(p)
+    m_c = native.read_obj_native(p)
+    assert m_c is not None
+    for field in ("positions", "tex_coords", "normals", "pos_idx", "tex_idx", "normal_idx"):
+        np.testing.assert_array_equal(getattr(m_c, field), getattr(m_py, field), err_msg=field)
+
+
 def test_obj_counts_diablo(diablo_model):
     mesh = diablo_model.mesh
     assert mesh.num_vertices == 2519

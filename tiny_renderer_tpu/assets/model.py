@@ -59,7 +59,9 @@ def load_model(asset_path: str, verbose: bool = True) -> Model:
     obj_path = os.path.join(asset_path, "model.obj")
     if verbose:
         print(f"loading model from: {obj_path}")
-    mesh = read_obj(obj_path)
+    mesh = native.read_obj_native(obj_path)
+    if mesh is None:
+        mesh = read_obj(obj_path)
     if verbose:
         print(f"number of vertices in a model: {mesh.num_vertices}")
         print(f"number of polygons in a model: {mesh.num_triangles}")

@@ -52,6 +52,16 @@ def _get_lib():
             ]
             lib.trt_free.restype = None
             lib.trt_free.argtypes = [ctypes.c_void_p]
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            vpp = ctypes.POINTER(ctypes.c_void_p)
+            lib.trt_parse_obj.restype = ctypes.c_int
+            lib.trt_parse_obj.argtypes = [
+                ctypes.c_char_p,
+                i32p, vpp,  # positions
+                i32p, vpp,  # tex_coords
+                i32p, vpp,  # normals
+                i32p, vpp, vpp, vpp,  # faces: pos/tex/norm index arrays
+            ]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -61,6 +71,49 @@ def _get_lib():
 
 def native_available() -> bool:
     return _get_lib() is not None
+
+
+def _take_array(lib, ptr, count, ctype, np_dtype):
+    arr = np.ctypeslib.as_array(ctypes.cast(ptr, ctypes.POINTER(ctype)), shape=(count,))
+    out = arr.copy().astype(np_dtype, copy=False)
+    lib.trt_free(ptr)
+    return out
+
+
+def read_obj_native(path: str):
+    """Parse an OBJ file via the native library; returns an ObjMesh or None."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "trt_parse_obj"):
+        return None
+    nv = ctypes.c_int32()
+    nvt = ctypes.c_int32()
+    nvn = ctypes.c_int32()
+    nf = ctypes.c_int32()
+    bufs = [ctypes.c_void_p() for _ in range(6)]
+    rc = lib.trt_parse_obj(
+        path.encode(),
+        ctypes.byref(nv), ctypes.byref(bufs[0]),
+        ctypes.byref(nvt), ctypes.byref(bufs[1]),
+        ctypes.byref(nvn), ctypes.byref(bufs[2]),
+        ctypes.byref(nf), ctypes.byref(bufs[3]),
+        ctypes.byref(bufs[4]), ctypes.byref(bufs[5]),
+    )
+    if rc != 0:
+        for b in bufs:
+            if b.value:
+                lib.trt_free(b)
+        return None
+    from .obj import ObjMesh
+
+    V, VT, VN, T = int(nv.value), int(nvt.value), int(nvn.value), int(nf.value)
+    return ObjMesh(
+        positions=_take_array(lib, bufs[0], V * 3, ctypes.c_float, np.float32).reshape(V, 3),
+        tex_coords=_take_array(lib, bufs[1], VT * 2, ctypes.c_float, np.float32).reshape(VT, 2),
+        normals=_take_array(lib, bufs[2], VN * 3, ctypes.c_float, np.float32).reshape(VN, 3),
+        pos_idx=_take_array(lib, bufs[3], T * 3, ctypes.c_int32, np.int32).reshape(T, 3),
+        tex_idx=_take_array(lib, bufs[4], T * 3, ctypes.c_int32, np.int32).reshape(T, 3),
+        normal_idx=_take_array(lib, bufs[5], T * 3, ctypes.c_int32, np.int32).reshape(T, 3),
+    )
 
 
 def read_tga_native(path: str) -> np.ndarray | None:
