@@ -206,3 +206,37 @@ class TestBinningAndPallas:
         assert mismatch < 0.002, f"winner mismatch {mismatch}"
         covered = idx_j >= 0
         np.testing.assert_allclose(z_p[covered], z_j[covered], rtol=1e-5, atol=1e-4)
+
+
+class TestOverflowFlags:
+    def test_span_clamp_flag(self):
+        """A triangle covering more tiles than max_span_* sets the overflow
+        flag (coverage beyond the cap is dropped deterministically)."""
+        cfg = RenderConfig(width=512, height=256, tile_h=8, tile_w=128,
+                           max_tris_per_tile=64, max_span_y=2, max_span_x=1)
+        _, u = _identity_uniforms(512, 256)
+        # One huge triangle covering most of the screen.
+        geom = _geom_from_triangles([[[-2, -2, 0], [2, -2, 0], [0, 2, 0]]])
+        s = jax.jit(lambda g: triangle_setup(g, jax.tree.map(jnp.asarray, u),
+                                             cfg, needs=(), xp=jnp))(
+            jax.tree.map(jnp.asarray, geom))
+        _, _, overflow = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        assert bool(overflow)
+
+    def test_scene_overflow_property(self, head_model=None):
+        from tiny_renderer_tpu import Scene, load_model
+        model = load_model("/root/reference/assets/african_head", verbose=False)
+        cfg = RenderConfig(width=96, height=96, tri_block=32)
+        scene = Scene(model, "default", cfg, backend="jnp")
+        scene.render()
+        assert scene.overflowed is False
+
+
+class TestConfigValidation:
+    def test_bad_tile_w(self):
+        with pytest.raises(ValueError, match="tile_w"):
+            RenderConfig(tile_w=100)
+
+    def test_bad_size(self):
+        with pytest.raises(ValueError, match="frame size"):
+            RenderConfig(width=0)

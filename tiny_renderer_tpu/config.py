@@ -58,6 +58,18 @@ class RenderConfig:
     camera_speed: float = 3.0
     light_speed: float = 3.0
 
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError(f"invalid frame size {self.width}x{self.height}")
+        if self.tile_w % 128 != 0 or self.tile_w < 128:
+            raise ValueError(f"tile_w must be a positive multiple of 128 (TPU lane width), got {self.tile_w}")
+        if self.tile_h % 8 != 0 or self.tile_h < 8:
+            raise ValueError(f"tile_h must be a positive multiple of 8 (f32 sublanes), got {self.tile_h}")
+        if self.max_tris_per_tile < 1 or self.max_span_y < 1 or self.max_span_x < 1:
+            raise ValueError("binning caps must be >= 1")
+        if self.occlusion_samples < 1:
+            raise ValueError("occlusion_samples must be >= 1")
+
     @property
     def padded_width(self) -> int:
         return -(-self.width // self.tile_w) * self.tile_w

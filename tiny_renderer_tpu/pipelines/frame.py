@@ -83,8 +83,8 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True):
     H, W = config.height, config.width
     if backend == "jnp":
         z, idx = rasterize_jnp(setup, H, W, config.tri_block)
-        return z, idx, None
-    records, counts, _ = bin_triangles(setup, config, spec)
+        return z, idx, None, jnp.asarray(False)
+    records, counts, overflowed = bin_triangles(setup, config, spec)
     z, idx, varys = rasterize_pallas(
         records,
         counts,
@@ -100,6 +100,7 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True):
         z[:H, :W],
         idx[:H, :W] if idx is not None else None,
         varys[:, :H, :W] if varys is not None else None,
+        overflowed,
     )
 
 
@@ -209,7 +210,9 @@ def render_frame(
         setup1 = triangle_setup(
             geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
         )
-        shadow_z, _, _ = _rasterize(setup1, config, backend, spec=(), emit_idx=False)
+        shadow_z, _, _, ovf1 = _rasterize(
+            setup1, config, backend, spec=(), emit_idx=False
+        )
         uniforms = ml.shadow_pass_2_prepare(
             config, light_direction, look_from, look_at, up, jnp
         )
@@ -219,10 +222,11 @@ def render_frame(
             config, light_direction, look_from, look_at, up, jnp
         )
         shadow_z = jnp.full((H, W), ml.F32_MIN, jnp.float32)
+        ovf1 = jnp.asarray(False)
 
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
     kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
-    z, idx, varys = _rasterize(setup, config, backend, spec=kspec)
+    z, idx, varys, ovf2 = _rasterize(setup, config, backend, spec=kspec)
 
     if varys is None:
         frag = _shade_jnp_path(setup, idx, pipeline, config)
@@ -237,7 +241,9 @@ def render_frame(
 
     covered = (idx >= 0)[..., None]
     frame = jnp.where(covered, colors, jnp.uint8(0))
-    return {"frame": frame, "z": z, "shadow": shadow_z}
+    # overflow: a binning coverage cap was hit (coverage silently truncated —
+    # raise max_tris_per_tile / max_span_* if this fires; SURVEY.md §5.3).
+    return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
 
 
 def _add_const_gather(frag, kspec, vspec, setup, idx):

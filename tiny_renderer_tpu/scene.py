@@ -99,6 +99,14 @@ class Scene:
         if self._out is not None:
             jax.block_until_ready(self._out)
 
+    @property
+    def overflowed(self) -> bool:
+        """True if the last render hit a binning coverage cap (coverage was
+        silently truncated); raise RenderConfig.max_tris_per_tile /
+        max_span_* if this fires."""
+        out = self._require_render()
+        return bool(np.asarray(out["overflow"]))
+
     def get_frame_buffer(self) -> np.ndarray:
         """(H, W, 3) u8, vertically flipped so row 0 is the top of the world
         — matching the reference's presentation flip (scene.rs:92-97)."""
