@@ -67,6 +67,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--light-angle", type=float, default=0.0,
                     help="initial light orbit angle (radians)")
     ap.add_argument("--save", metavar="PNG", help="write the final frame to PNG")
+    ap.add_argument("--save-seq", metavar="DIR",
+                    help="render the whole orbit animation as one device "
+                         "burst and write frame_%%04d.png into DIR")
     ap.add_argument("--dump-z", metavar="PNG", help="write the z-buffer debug view")
     ap.add_argument("--dump-shadow", metavar="PNG", help="write the shadow-buffer debug view")
     ap.add_argument("--backend", default="auto",
@@ -75,6 +78,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--interactive", action="store_true",
                     help="open an interactive viewer (requires a display)")
     ap.add_argument("--no-fps", action="store_true", help="disable the FPS printout")
+    ap.add_argument("--timing", action="store_true",
+                    help="print a per-frame wall-time summary at exit")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     return ap
@@ -97,6 +102,7 @@ def run_headless(scene: Scene, args) -> np.ndarray:
     camera_angle = args.camera_angle
     light_angle = args.light_angle
     frame_time = 0.0
+    times = []
     for _ in range(max(1, args.frames)):
         t0 = time.monotonic()
         if args.orbit:
@@ -110,6 +116,14 @@ def run_headless(scene: Scene, args) -> np.ndarray:
         scene.block_until_ready()
         fps.tick()
         frame_time = time.monotonic() - t0
+        times.append(frame_time)
+    if args.timing and times:
+        steady = times[1:] or times  # drop the compile frame
+        print(
+            f"frame time: mean {1e3 * sum(steady) / len(steady):.2f} ms, "
+            f"min {1e3 * min(steady):.2f} ms over {len(steady)} frames "
+            f"(first frame incl. compile: {1e3 * times[0]:.0f} ms)"
+        )
     return scene.get_frame_buffer()
 
 
@@ -179,6 +193,33 @@ def run_interactive(scene: Scene, args) -> np.ndarray:
     return frame
 
 
+def run_sequence(scene: Scene, args) -> np.ndarray:
+    """Render the orbit animation as ONE device burst and dump PNG frames."""
+    import jax.numpy as jnp
+
+    from .pipelines.frame import make_burst_fn
+
+    cfg = scene.config
+    n = max(1, args.frames)
+    # Fixed-dt orbit (the interactive loop scales by real frame time; a
+    # sequence export uses a deterministic 60 fps step).
+    dt = 1.0 / 60.0
+    cams = (args.camera_angle + cfg.camera_speed * dt * np.arange(n)).astype(np.float32)
+    ligs = (args.light_angle - cfg.light_speed * dt * np.arange(n)).astype(np.float32)
+    burst = make_burst_fn(
+        args.pipeline, cfg, backend=args.backend, keep_frames=True
+    )
+    out = burst(scene._geom, scene._textures, jnp.asarray(cams), jnp.asarray(ligs))
+    from .utils.transfer import fetch
+
+    frames = fetch(out["frames"])
+    os.makedirs(args.save_seq, exist_ok=True)
+    for i in range(n):
+        write_png(os.path.join(args.save_seq, f"frame_{i:04d}.png"), frames[i][::-1])
+    print(f"wrote {n} frames to {args.save_seq}")
+    return frames[-1][::-1]
+
+
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     width, height = args.size
@@ -189,7 +230,9 @@ def main(argv=None) -> int:
     scene = Scene(model, args.pipeline, config, backend=args.backend)
 
     with profile_trace(args.profile):
-        if args.interactive:
+        if args.save_seq:
+            frame = run_sequence(scene, args)
+        elif args.interactive:
             frame = run_interactive(scene, args)
         else:
             frame = run_headless(scene, args)
