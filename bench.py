@@ -61,12 +61,14 @@ def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800):
     tj = scene._textures
 
     # Orbit angle tracks.  Non-orbit configs still get per-frame epsilon
-    # jitter: the dev-TPU runtime dedupes executions with identical inputs,
-    # which would turn a static-camera burst into a single frame's work.
+    # jitter, and every process gets a random base offset: the dev-TPU
+    # runtime dedupes executions with identical inputs — even ACROSS
+    # processes — which would turn a static-camera burst into no work.
     n = max(8, frames)
+    base = float(np.random.default_rng().uniform(0, 1e-2))
     step = 0.05 if orbit else 1e-4
-    cam = (0.37 + step * np.arange(n)).astype(np.float32)
-    lig = (-0.6 + (0.03 if orbit else 1e-4) * np.arange(n)).astype(np.float32)
+    cam = (0.37 + base + step * np.arange(n)).astype(np.float32)
+    lig = (-0.6 + base + (0.03 if orbit else 1e-4) * np.arange(n)).astype(np.float32)
 
     burst = make_burst_fn(pipeline, config, backend=scene._frame_fn.keywords["backend"])
 
@@ -89,7 +91,7 @@ def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800):
     t0 = time.perf_counter()
     run_burst(cam + 1e-5, lig)
     t_n = time.perf_counter() - t0
-    device_ms = (t_n - t8) * 1e3 / (n - 8)
+    device_ms = max((t_n - t8) * 1e3 / (n - 8), 1e-3)
 
     # Host loop: one dispatch per frame (includes per-frame dispatch latency).
     def set_state(i, eps=0.0):

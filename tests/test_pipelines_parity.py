@@ -25,7 +25,7 @@ def _render_pair(scene_data, camera, pipeline, backend="jnp", size=SIZE):
     geom, tex = scene_data
     light, look_from, look_at, up = camera
     cfg = RenderConfig(width=size, height=size, tri_block=64,
-                       tile_h=8, tile_w=128, max_tris_per_tile=512)
+                       tile_h=8, tile_w=128)
     o = render_oracle(geom, tex, light, look_from, look_at, up,
                       pipeline=pipeline, config=cfg)
     fn = make_frame_fn(pipeline, cfg, backend=backend)

@@ -154,8 +154,7 @@ class TestRasterJnp:
 
 class TestBinningAndPallas:
     def _setup(self, n=150, seed=3, W=256, H=64):
-        cfg = RenderConfig(width=W, height=H, tile_h=8, tile_w=128,
-                           max_tris_per_tile=128, tri_block=32)
+        cfg = RenderConfig(width=W, height=H, tile_h=8, tile_w=128, tri_block=32)
         _, u = _identity_uniforms(W, H)
         geom = _random_scene(n, seed, spread=0.7)
         s = jax.jit(
@@ -165,22 +164,24 @@ class TestBinningAndPallas:
 
     def test_binning_counts_match_bruteforce(self):
         cfg, s = self._setup()
-        records, counts, overflow = jax.jit(lambda s: bin_triangles(s, cfg))(s)
-        counts = np.asarray(counts)
+        records, starts, overflow = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        starts = np.asarray(starts)
+        counts = starts[1:] - starts[:-1]
         sn = jax.tree.map(np.asarray, s)
-        # Brute-force per-tile bbox overlap count.
+        # Brute-force per-tile bbox overlap count + ascending-index invariant.
+        gidx = np.asarray(records)[:, 12].astype(int)
         for tile in range(cfg.num_tiles):
             ty, tx = divmod(tile, cfg.tiles_x)
             x_lo, x_hi = tx * cfg.tile_w, (tx + 1) * cfg.tile_w - 1
             y_lo, y_hi = ty * cfg.tile_h, (ty + 1) * cfg.tile_h - 1
-            n = 0
-            for t in range(sn["valid"].shape[0]):
-                if not sn["valid"][t]:
-                    continue
-                if sn["x0"][t] <= x_hi and sn["x1"][t] >= x_lo and \
-                   sn["y0"][t] <= y_hi and sn["y1"][t] >= y_lo:
-                    n += 1
-            assert counts[tile] == min(n, cfg.max_tris_per_tile), f"tile {tile}"
+            expect = [
+                t for t in range(sn["valid"].shape[0])
+                if sn["valid"][t]
+                and sn["x0"][t] <= x_hi and sn["x1"][t] >= x_lo
+                and sn["y0"][t] <= y_hi and sn["y1"][t] >= y_lo
+            ]
+            got = list(gidx[starts[tile] : starts[tile + 1]])
+            assert got == expect, f"tile {tile}"
         assert not bool(overflow)
 
     def test_pallas_interpret_matches_jnp(self):
@@ -212,8 +213,7 @@ class TestOverflowFlags:
     def test_span_clamp_flag(self):
         """A triangle covering more tiles than max_span_* sets the overflow
         flag (coverage beyond the cap is dropped deterministically)."""
-        cfg = RenderConfig(width=512, height=256, tile_h=8, tile_w=128,
-                           max_tris_per_tile=64, max_span_y=2, max_span_x=1)
+        cfg = RenderConfig(width=512, height=256, tile_h=8, tile_w=128, max_span_y=2, max_span_x=1)
         _, u = _identity_uniforms(512, 256)
         # One huge triangle covering most of the screen.
         geom = _geom_from_triangles([[[-2, -2, 0], [2, -2, 0], [0, 2, 0]]])

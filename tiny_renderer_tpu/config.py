@@ -43,9 +43,10 @@ class RenderConfig:
     # scans each triangle's bounding box serially, src/scene.rs:240-241).
     tile_h: int = 16
     tile_w: int = 128
-    # Max triangles binned per tile; overflow is dropped deterministically
-    # (highest indices first). Raise for pathological close-up geometry.
-    max_tris_per_tile: int = 128
+    # Global cap on (tile, triangle) incidences in the CSR binning; None =
+    # max(4*T, 4096) — generous vs the typical ~1.3 incidences/triangle.
+    # Overflow (flagged) drops trailing tiles' coverage deterministically.
+    max_incidences: int | None = None
     # Max tile span of one triangle's bbox (rows x cols of tiles); coverage
     # beyond is dropped deterministically.  Defaults allow a 128 x 512 px
     # bbox — far beyond anything the reference scenes produce.
@@ -65,8 +66,10 @@ class RenderConfig:
             raise ValueError(f"tile_w must be a positive multiple of 128 (TPU lane width), got {self.tile_w}")
         if self.tile_h % 8 != 0 or self.tile_h < 8:
             raise ValueError(f"tile_h must be a positive multiple of 8 (f32 sublanes), got {self.tile_h}")
-        if self.max_tris_per_tile < 1 or self.max_span_y < 1 or self.max_span_x < 1:
-            raise ValueError("binning caps must be >= 1")
+        if self.max_span_y < 1 or self.max_span_x < 1:
+            raise ValueError("binning span caps must be >= 1")
+        if self.max_incidences is not None and self.max_incidences < 8:
+            raise ValueError("max_incidences must be >= 8")
         if self.occlusion_samples < 1:
             raise ValueError("occlusion_samples must be >= 1")
 

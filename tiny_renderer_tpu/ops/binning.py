@@ -7,21 +7,24 @@ screen-clamped bbox overlaps.  The Pallas kernel then only evaluates
 (tile, triangle) pairs that can actually produce coverage — the blockwise
 decomposition that bounds the O(pixels x triangles) product (SURVEY.md §5.7).
 
-Compaction strategy (v2): incidence-key sort.  Each triangle contributes up
-to max_span_y * max_span_x (tile, triangle) incidences; the packed keys
-`tile_id * K + tri_id` of ALL incidences are sorted in one small
+Compaction strategy (v3): incidence-key sort into a CSR list.  Each triangle
+contributes up to max_span_y * max_span_x (tile, triangle) incidences; the
+packed keys `tile_id * K + tri_id` of ALL incidences are sorted in one small
 (T * span,) sort, per-tile ranges are recovered with searchsorted, and the
-per-tile record lists are plain gathers.  This is ~20x less sort work than
-the previous per-tile (num_tiles, T) sort and keeps the critical invariant:
-within each tile, triangle indices ascend, preserving the reference's
-polygon-order tie-break (shader.rs:169-180).
+records are gathered ONCE into (tile, triangle)-sorted CSR order — the
+raster kernel keeps the flat array resident in VMEM and walks each tile's
+[starts[t], starts[t+1]) slice.  Per-tile list length is unbounded (dense
+regions just own longer slices), which removed the per-tile-capacity
+overflow class entirely; the only caps are:
 
-Coverage caps (both deterministic, both reported via `overflowed`):
-* bbox span is clamped to max_span_y x max_span_x tiles (default 8 x 4 =
+* bbox span clamped to max_span_y x max_span_x tiles (default 8 x 4 =
   128 x 512 px) — triangles larger than that lose coverage beyond the cap;
-* per-tile lists are truncated at max_tris_per_tile (highest indices drop).
-Both caps are far above anything the reference scenes produce; raise the
-config knobs for pathological close-up geometry.
+* the global incidence cap (default 4x triangle count vs a typical ~1.3x).
+
+Both deterministic, both far above the reference scenes, both reported via
+`overflowed`.  The critical invariant holds: within each tile, triangle
+indices ascend, preserving the reference's polygon-order tie-break
+(shader.rs:169-180).
 """
 
 from __future__ import annotations
@@ -96,19 +99,35 @@ def pack_triangle_records(setup, spec=(), xp=jnp):
     return xp.pad(rec, [(0, 0), (0, pad)])
 
 
+def incidence_cap(T: int, config) -> int:
+    """Static CSR capacity: generous vs the typical ~1.3 incidences/triangle."""
+    if config.max_incidences is not None:
+        cap = config.max_incidences
+    else:
+        cap = max(4 * T, 4096)
+    cap = min(cap, T * config.max_span_y * config.max_span_x)
+    return _round_up(cap, 8)
+
+
 def bin_triangles(setup, config, spec=()):
-    """Bin triangles into screen tiles.
+    """Bin triangles into screen tiles as a CSR incidence list.
+
+    Per-tile triangle lists are variable-length slices of ONE flat record
+    array (no per-tile capacity — dense regions can hold arbitrarily many
+    triangles up to the global incidence cap), ascending by triangle index
+    within each tile (the reference's polygon-order tie-break).
 
     Returns:
-      tile_records: (num_tiles, max_tris_per_tile, record_lanes(spec)) f32,
-        triangle indices ascending within each tile
-      counts: (num_tiles,) i32 — triangles binned per tile (clamped to max)
-      overflowed: () bool — any coverage cap was hit
+      csr_records: (incidence_cap, record_lanes(spec)) f32 — triangle records
+        in (tile, triangle) order
+      starts: (num_tiles + 1,) i32 — tile t owns csr_records[starts[t] :
+        starts[t+1]]
+      overflowed: () bool — a coverage cap was hit (span clamp, or total
+        incidences beyond the cap: trailing tiles lose coverage)
     """
     th, tw = config.tile_h, config.tile_w
     n_tx = config.tiles_x
     num_tiles = config.num_tiles
-    max_t = config.max_tris_per_tile
     msy, msx = config.max_span_y, config.max_span_x
 
     T = setup["valid"].shape[0]
@@ -119,6 +138,7 @@ def bin_triangles(setup, config, spec=()):
             f"binning key overflow: {num_tiles} tiles x {T} triangles; "
             "use larger tiles or shard the screen"
         )
+    cap = incidence_cap(T, config)
 
     valid = setup["valid"]
     tx0 = setup["x0"] // tw
@@ -143,21 +163,17 @@ def bin_triangles(setup, config, spec=()):
     tri_ids = jnp.arange(T, dtype=jnp.int32)
     key = jnp.where(ok, tile * K + tri_ids[:, None, None], jnp.int32(2**31 - 1))
     keys_sorted = jnp.sort(key.reshape(-1))  # (T * msy * msx,)
+    total = jnp.sum(ok, dtype=jnp.int32)
 
-    # Per-tile ranges: starts[t] = first incidence of tile t.
+    # Per-tile ranges: starts[t] = first incidence of tile t, clamped to cap.
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) * K
     starts = jnp.searchsorted(keys_sorted, boundaries, side="left").astype(jnp.int32)
-    raw_counts = starts[1:] - starts[:-1]
-    counts = jnp.minimum(raw_counts, jnp.int32(max_t))
-    overflowed = jnp.any(raw_counts > max_t) | span_clamped
+    starts = jnp.minimum(starts, jnp.int32(cap))
+    overflowed = (total > cap) | span_clamped
 
-    # Per-tile triangle lists: gather from the sorted incidences.
-    slot = starts[:-1, None] + jnp.arange(max_t, dtype=jnp.int32)[None, :]
-    slot = jnp.minimum(slot, jnp.int32(keys_sorted.shape[0] - 1))
-    tri_of_slot = (keys_sorted[slot] & jnp.int32(K - 1)).astype(jnp.int32)
-    in_range = jnp.arange(max_t, dtype=jnp.int32)[None, :] < counts[:, None]
-    gather_ids = jnp.where(in_range, jnp.minimum(tri_of_slot, T - 1), jnp.int32(T - 1))
+    csr_tris = (keys_sorted[:cap] & jnp.int32(K - 1)).astype(jnp.int32)
+    csr_tris = jnp.minimum(csr_tris, T - 1)  # sentinel slots -> harmless row
 
     records = pack_triangle_records(setup, spec, jnp)
-    tile_records = records[gather_ids]
-    return tile_records, counts, overflowed
+    csr_records = records[csr_tris]
+    return csr_records, starts, overflowed

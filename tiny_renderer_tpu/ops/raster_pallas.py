@@ -18,9 +18,10 @@ that tile (ops/binning.py) in two phases:
   are scalars in registers here, so interpolation is a handful of broadcast
   FMAs per plane — measured ~6x cheaper than gathering per pixel on TPU.
 
-The per-triangle records live in SMEM ((1, max_t, L) block per tile); the
-pixel-space evaluation is dense f32 VPU work with zero HBM traffic inside
-the loops.
+The triangle records are a flat CSR array (ops/binning.py) resident in
+VMEM for the whole grid; each tile walks its [starts[t], starts[t+1])
+slice, so per-tile triangle counts are unbounded.  The pixel-space
+evaluation is dense f32 VPU work with zero HBM traffic inside the loops.
 """
 
 from __future__ import annotations
@@ -65,7 +66,7 @@ def _plane_layout(spec):
 
 
 def _raster_kernel(
-    counts_ref, rec_ref, z_ref, *rest, tile_h, tile_w, tiles_x, spec, emit_idx
+    starts_ref, rec_ref, z_ref, *rest, tile_h, tile_w, tiles_x, spec, emit_idx
 ):
     planes = _plane_layout(spec)
     rest = list(rest)
@@ -74,7 +75,9 @@ def _raster_kernel(
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    count = counts_ref[ty * tiles_x + tx]
+    tile = ty * tiles_x + tx
+    start = starts_ref[tile]
+    end = starts_ref[tile + 1]
 
     z_ref[:] = jnp.full((tile_h, tile_w), F32_MIN, jnp.float32)
     if idx_ref is not None:
@@ -91,25 +94,25 @@ def _raster_kernel(
     ).astype(jnp.float32)
 
     def edge_functions(k):
-        a1 = rec_ref[0, k, 0]
-        b1 = rec_ref[0, k, 1]
-        c1 = rec_ref[0, k, 2]
-        a2 = rec_ref[0, k, 3]
-        b2 = rec_ref[0, k, 4]
-        c2 = rec_ref[0, k, 5]
+        a1 = rec_ref[k, 0]
+        b1 = rec_ref[k, 1]
+        c1 = rec_ref[k, 2]
+        a2 = rec_ref[k, 3]
+        b2 = rec_ref[k, 4]
+        c2 = rec_ref[k, 5]
         cx = a1 * pxf + b1 * pyf + c1
         cy = a2 * pxf + b2 * pyf + c2
         return cx, cy
 
     def depth_body(k, _):
         cx, cy = edge_functions(k)
-        sgn = rec_ref[0, k, 6]
-        absz = rec_ref[0, k, 7]
-        rcz = rec_ref[0, k, 8]
-        z1 = rec_ref[0, k, 9]
-        z2 = rec_ref[0, k, 10]
-        z3 = rec_ref[0, k, 11]
-        gidx = rec_ref[0, k, 12]
+        sgn = rec_ref[k, 6]
+        absz = rec_ref[k, 7]
+        rcz = rec_ref[k, 8]
+        z1 = rec_ref[k, 9]
+        z2 = rec_ref[k, 10]
+        z3 = rec_ref[k, 11]
+        gidx = rec_ref[k, 12]
 
         cxs = cx * sgn
         cys = cy * sgn
@@ -128,17 +131,17 @@ def _raster_kernel(
             idx_ref[:] = jnp.where(better, jnp.int32(gidx), idx_ref[:])
         return 0
 
-    jax.lax.fori_loop(0, count, depth_body, 0)
+    jax.lax.fori_loop(start, end, depth_body, 0)
 
     if not planes:
         return
 
     def vary_body(k, _):
-        gidx = rec_ref[0, k, 12]
+        gidx = rec_ref[k, 12]
         mask = idx_ref[:] == jnp.int32(gidx)
         cx, cy = edge_functions(k)
-        sgn = rec_ref[0, k, 6]
-        absz = rec_ref[0, k, 7]
+        sgn = rec_ref[k, 6]
+        absz = rec_ref[k, 7]
         # Exact-division barycentrics (scene.rs:192-196): cx/cz computed as
         # (cx*sgn)/|cz| — the sign flip is exact, so the rounding matches the
         # reference's single division by cz bit-for-bit.
@@ -147,7 +150,7 @@ def _raster_kernel(
         w = jnp.float32(1.0) - ((cx + cy) * sgn) / absz
         for mode, lane, p in planes:
             if mode == "const":
-                val = jnp.full((tile_h, tile_w), rec_ref[0, k, lane])
+                val = jnp.full((tile_h, tile_w), rec_ref[k, lane])
             elif mode.startswith("texidx"):
                 # Fold uv interpolation + the reference's texel addressing
                 # ((uv*dim) as u32 then clamp, util.rs:35-40 + our clamp
@@ -155,8 +158,8 @@ def _raster_kernel(
                 _, tw_, th_ = mode.split(":")
                 wdim = jnp.float32(int(tw_))
                 hdim = jnp.float32(int(th_))
-                uu = (rec_ref[0, k, lane] * w + rec_ref[0, k, lane + 1] * u) + rec_ref[0, k, lane + 2] * v
-                vv = (rec_ref[0, k, lane + 3] * w + rec_ref[0, k, lane + 4] * u) + rec_ref[0, k, lane + 5] * v
+                uu = (rec_ref[k, lane] * w + rec_ref[k, lane + 1] * u) + rec_ref[k, lane + 2] * v
+                vv = (rec_ref[k, lane + 3] * w + rec_ref[k, lane + 4] * u) + rec_ref[k, lane + 5] * v
                 zero = jnp.float32(0.0)
                 xw = uu * wdim
                 yw = vv * hdim
@@ -166,14 +169,14 @@ def _raster_kernel(
                 cyp = jnp.minimum(jnp.trunc(jnp.maximum(yw, zero)), hdim - 1.0)
                 val = cyp * wdim + cxp
             else:  # interp / zfrag: (a0*w + a1*u) + a2*v
-                a0 = rec_ref[0, k, lane]
-                a1 = rec_ref[0, k, lane + 1]
-                a2 = rec_ref[0, k, lane + 2]
+                a0 = rec_ref[k, lane]
+                a1 = rec_ref[k, lane + 1]
+                a2 = rec_ref[k, lane + 2]
                 val = (a0 * w + a1 * u) + a2 * v
             vary_ref[p] = jnp.where(mask, val, vary_ref[p])
         return 0
 
-    jax.lax.fori_loop(0, count, vary_body, 0)
+    jax.lax.fori_loop(start, end, vary_body, 0)
 
 
 @functools.partial(
@@ -183,8 +186,8 @@ def _raster_kernel(
     ),
 )
 def rasterize_pallas(
-    tile_records,
-    counts,
+    csr_records,
+    starts,
     *,
     tile_h,
     tile_w,
@@ -197,9 +200,10 @@ def rasterize_pallas(
     """Run the raster kernel.
 
     Args:
-      tile_records: (num_tiles, max_t, record_lanes(spec)) f32 from
-        bin_triangles, triangle indices ascending within each tile.
-      counts: (num_tiles,) i32.
+      csr_records: (incidence_cap, record_lanes(spec)) f32 from
+        bin_triangles — CSR triangle records in (tile, triangle) order,
+        resident in VMEM for the whole grid.
+      starts: (num_tiles + 1,) i32 CSR offsets (scalar-prefetched to SMEM).
       spec: pipelines.shaders.VARYING_SPECS entry (static).
       emit_idx: write the winning-triangle-index target.  Depth-only passes
         (the shadow map, shader.rs:694-709) need only max z — skipping the
@@ -210,17 +214,12 @@ def rasterize_pallas(
     triangle index (-1 where uncovered; None if not emitted), and the
     (num_planes, H, W) f32 interpolated varyings (None if spec is empty).
     """
-    max_t = tile_records.shape[1]
-    lanes = tile_records.shape[2]
     H = tiles_y * tile_h
     W = tiles_x * tile_w
     n_planes = sum(c for (_, c, _) in spec) if spec else 0
     with_idx = emit_idx or n_planes > 0  # phase 2 reads the index target
 
-    def record_index_map(ty, tx, counts_ref):
-        return (ty * tiles_x + tx, 0, 0)
-
-    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, c: (ty, tx))
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s: (ty, tx))
     out_specs = [tile_spec]
     out_shape = [jax.ShapeDtypeStruct((H, W), jnp.float32)]
     if with_idx:
@@ -228,7 +227,7 @@ def rasterize_pallas(
         out_shape.append(jax.ShapeDtypeStruct((H, W), jnp.int32))
     if n_planes:
         out_specs.append(
-            pl.BlockSpec((n_planes, tile_h, tile_w), lambda ty, tx, c: (0, ty, tx))
+            pl.BlockSpec((n_planes, tile_h, tile_w), lambda ty, tx, s: (0, ty, tx))
         )
         out_shape.append(jax.ShapeDtypeStruct((n_planes, H, W), jnp.float32))
 
@@ -236,7 +235,11 @@ def rasterize_pallas(
         num_scalar_prefetch=1,
         grid=(tiles_y, tiles_x),
         in_specs=[
-            pl.BlockSpec((1, max_t, lanes), record_index_map, memory_space=pltpu.SMEM),
+            # Whole CSR array, constant index map -> fetched to VMEM once
+            # and kept resident across all grid steps.
+            pl.BlockSpec(
+                csr_records.shape, lambda ty, tx, s: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=out_specs,
     )
@@ -254,7 +257,7 @@ def rasterize_pallas(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(counts, tile_records)
+    )(starts, csr_records)
     outs = list(outs)
     z = outs.pop(0)
     idx = outs.pop(0) if with_idx else None

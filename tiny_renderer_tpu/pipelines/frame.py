@@ -84,10 +84,10 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True):
     if backend == "jnp":
         z, idx = rasterize_jnp(setup, H, W, config.tri_block)
         return z, idx, None, jnp.asarray(False)
-    records, counts, overflowed = bin_triangles(setup, config, spec)
+    csr_records, starts, overflowed = bin_triangles(setup, config, spec)
     z, idx, varys = rasterize_pallas(
-        records,
-        counts,
+        csr_records,
+        starts,
         tile_h=config.tile_h,
         tile_w=config.tile_w,
         tiles_y=config.tiles_y,

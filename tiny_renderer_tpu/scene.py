@@ -99,6 +99,23 @@ class Scene:
         if self._out is not None:
             jax.block_until_ready(self._out)
 
+    def render_sequence(self, camera_angles, light_angles) -> np.ndarray:
+        """Render an animation burst (one device dispatch) and return the
+        frames as (N, H, W, 3) u8, presentation-flipped like
+        get_frame_buffer.  Angles follow the reference's orbit
+        parameterization (src/app.rs:200-207)."""
+        from .pipelines.frame import make_burst_fn
+        from .utils.transfer import fetch
+
+        burst = make_burst_fn(self.pipeline_name, self.config, keep_frames=True)
+        out = burst(
+            self._geom,
+            self._textures,
+            jnp.asarray(np.asarray(camera_angles, np.float32)),
+            jnp.asarray(np.asarray(light_angles, np.float32)),
+        )
+        return fetch(out["frames"])[:, ::-1]
+
     @property
     def overflowed(self) -> bool:
         """True if the last render hit a binning coverage cap (coverage was
