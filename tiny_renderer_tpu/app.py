@@ -128,10 +128,13 @@ def run_headless(scene: Scene, args) -> np.ndarray:
 
 
 def run_interactive(scene: Scene, args) -> np.ndarray:
+    if not os.environ.get("DISPLAY"):
+        print("no display available; falling back to headless")
+        return run_headless(scene, args)
     try:
         import matplotlib
 
-        matplotlib.use("TkAgg" if os.environ.get("DISPLAY") else "Agg")
+        matplotlib.use("TkAgg")
         import matplotlib.pyplot as plt
     except Exception as e:  # pragma: no cover - depends on host GUI
         print(f"interactive viewer unavailable ({e}); falling back to headless")
