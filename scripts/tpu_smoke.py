@@ -34,6 +34,8 @@ def main():
     from tiny_renderer_tpu.oracle import render_oracle
     from tiny_renderer_tpu.pipelines.frame import PIPELINES, make_frame_fn
 
+    np.asarray(jnp.ones((8, 128)) * 2)
+    print("TUNNEL-LIVE", flush=True)
     print(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     model = load_model(args.asset, verbose=False)
     cfg = RenderConfig(width=args.size, height=args.size)

@@ -83,3 +83,26 @@ def test_dryrun_multichip_entrypoint(eight_devices):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("pipeline", ["phong", "shadow"])
+def test_row_sharded_pallas_matches_single(head_scene_data, camera, pipeline, eight_devices):
+    """The Pallas kernel inside shard_map (row-tile offsets + local binning
+    windows) must reproduce the single-device Pallas render exactly."""
+    cfg = RenderConfig(width=64, height=64, tile_h=8, tri_block=32)
+    mesh = make_row_mesh(eight_devices, batch=1)
+    gj, tj, *cam = _args(head_scene_data, camera)
+
+    sharded = render_frame_sharded(
+        gj, tj, *cam, pipeline=pipeline, config=cfg, mesh=mesh,
+        backend="pallas_interpret",
+    )
+    single = make_frame_fn(pipeline, cfg, backend="pallas_interpret")(gj, tj, *cam)
+
+    np.testing.assert_array_equal(
+        np.asarray(sharded["frame"]), np.asarray(single["frame"])
+    )
+    np.testing.assert_array_equal(np.asarray(sharded["z"]), np.asarray(single["z"]))
+    np.testing.assert_array_equal(
+        np.asarray(sharded["shadow"]), np.asarray(single["shadow"])
+    )

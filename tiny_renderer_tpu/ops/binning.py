@@ -109,13 +109,17 @@ def incidence_cap(T: int, config) -> int:
     return _round_up(cap, 8)
 
 
-def bin_triangles(setup, config, spec=()):
+def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     """Bin triangles into screen tiles as a CSR incidence list.
 
     Per-tile triangle lists are variable-length slices of ONE flat record
     array (no per-tile capacity — dense regions can hold arbitrarily many
     triangles up to the global incidence cap), ascending by triangle index
     within each tile (the reference's polygon-order tie-break).
+
+    row_tile_offset: first global tile-row this (row-sharded) bin covers;
+    config then describes the LOCAL shard (config.tiles_y rows).  0 for the
+    single-device full frame.
 
     Returns:
       csr_records: (incidence_cap, record_lanes(spec)) f32 — triangle records
@@ -140,11 +144,16 @@ def bin_triangles(setup, config, spec=()):
         )
     cap = incidence_cap(T, config)
 
+    n_ty = config.tiles_y
     valid = setup["valid"]
     tx0 = setup["x0"] // tw
     tx1 = setup["x1"] // tw
-    ty0 = setup["y0"] // th
-    ty1 = setup["y1"] // th
+    ty0 = setup["y0"] // th - row_tile_offset
+    ty1 = setup["y1"] // th - row_tile_offset
+    # Row-shard window: keep triangles overlapping local tile rows [0, n_ty).
+    valid = valid & (ty1 >= 0) & (ty0 <= n_ty - 1)
+    ty0 = jnp.clip(ty0, 0, n_ty - 1)
+    ty1 = jnp.clip(ty1, 0, n_ty - 1)
     span_x = tx1 - tx0
     span_y = ty1 - ty0
     span_clamped = jnp.any(valid & ((span_x > msx - 1) | (span_y > msy - 1)))

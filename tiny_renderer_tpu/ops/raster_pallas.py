@@ -66,7 +66,7 @@ def _plane_layout(spec):
 
 
 def _raster_kernel(
-    starts_ref, rec_ref, z_ref, *rest, tile_h, tile_w, tiles_x, spec, emit_idx
+    starts_ref, row_off_ref, rec_ref, z_ref, *rest, tile_h, tile_w, tiles_x, spec, emit_idx
 ):
     planes = _plane_layout(spec)
     rest = list(rest)
@@ -78,6 +78,7 @@ def _raster_kernel(
     tile = ty * tiles_x + tx
     start = starts_ref[tile]
     end = starts_ref[tile + 1]
+    row_off = row_off_ref[0]  # global tile-row offset of this (row-sharded) grid
 
     z_ref[:] = jnp.full((tile_h, tile_w), F32_MIN, jnp.float32)
     if idx_ref is not None:
@@ -90,7 +91,8 @@ def _raster_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + tx * tile_w
     ).astype(jnp.float32)
     pyf = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) + ty * tile_h
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        + (ty + row_off) * tile_h
     ).astype(jnp.float32)
 
     def edge_functions(k):
@@ -188,6 +190,7 @@ def _raster_kernel(
 def rasterize_pallas(
     csr_records,
     starts,
+    row_tile_offset=None,
     *,
     tile_h,
     tile_w,
@@ -219,7 +222,10 @@ def rasterize_pallas(
     n_planes = sum(c for (_, c, _) in spec) if spec else 0
     with_idx = emit_idx or n_planes > 0  # phase 2 reads the index target
 
-    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s: (ty, tx))
+    if row_tile_offset is None:
+        row_tile_offset = jnp.zeros((1,), jnp.int32)
+
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, r: (ty, tx))
     out_specs = [tile_spec]
     out_shape = [jax.ShapeDtypeStruct((H, W), jnp.float32)]
     if with_idx:
@@ -227,18 +233,18 @@ def rasterize_pallas(
         out_shape.append(jax.ShapeDtypeStruct((H, W), jnp.int32))
     if n_planes:
         out_specs.append(
-            pl.BlockSpec((n_planes, tile_h, tile_w), lambda ty, tx, s: (0, ty, tx))
+            pl.BlockSpec((n_planes, tile_h, tile_w), lambda ty, tx, s, r: (0, ty, tx))
         )
         out_shape.append(jax.ShapeDtypeStruct((n_planes, H, W), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x),
         in_specs=[
             # Whole CSR array, constant index map -> fetched to VMEM once
             # and kept resident across all grid steps.
             pl.BlockSpec(
-                csr_records.shape, lambda ty, tx, s: (0, 0), memory_space=pltpu.VMEM
+                csr_records.shape, lambda ty, tx, s, r: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=out_specs,
@@ -257,7 +263,7 @@ def rasterize_pallas(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, csr_records)
+    )(starts, row_tile_offset.astype(jnp.int32), csr_records)
     outs = list(outs)
     z = outs.pop(0)
     idx = outs.pop(0) if with_idx else None

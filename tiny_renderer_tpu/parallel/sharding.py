@@ -25,10 +25,21 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+import dataclasses
+
 from ..ops import mathlib as ml
+from ..ops.binning import bin_triangles
 from ..ops.raster_jnp import rasterize_jnp
+from ..ops.raster_pallas import rasterize_pallas
 from ..ops.vertex import triangle_setup
-from ..pipelines.frame import PIPELINES, _shade_jnp_path
+from ..pipelines import shaders
+from ..pipelines.frame import (
+    PIPELINES,
+    _add_const_gather,
+    _fragments_from_planes,
+    _shade_jnp_path,
+)
+from ..pipelines.shaders import VARYING_SPECS, kernel_varying_spec
 
 
 def make_row_mesh(devices=None, batch: int = 1):
@@ -43,8 +54,41 @@ def make_row_mesh(devices=None, batch: int = 1):
     return Mesh(arr, axis_names=("batch", "rows"))
 
 
+def _raster_shard(setup, config, rows_per_shard, y0, backend, spec=(), emit_idx=True):
+    """Rasterize this shard's row slab with the selected backend.
+
+    Pallas path: bins against a LOCAL config window (rows_per_shard tall)
+    with the shard's tile-row offset, so each device only evaluates its own
+    (tile, triangle) incidences; the kernel writes local row-slab targets.
+    """
+    W = config.width
+    if backend == "jnp":
+        z, idx = rasterize_jnp(setup, rows_per_shard, W, config.tri_block, y_offset=y0)
+        return z, idx, None
+    local_cfg = dataclasses.replace(config, height=rows_per_shard)
+    row_off = y0 // config.tile_h
+    csr, starts, _ = bin_triangles(setup, local_cfg, spec, row_tile_offset=row_off)
+    z, idx, varys = rasterize_pallas(
+        csr,
+        starts,
+        jnp.reshape(row_off, (1,)).astype(jnp.int32),
+        tile_h=local_cfg.tile_h,
+        tile_w=local_cfg.tile_w,
+        tiles_y=local_cfg.tiles_y,
+        tiles_x=local_cfg.tiles_x,
+        spec=spec,
+        emit_idx=emit_idx,
+        interpret=(backend == "pallas_interpret"),
+    )
+    return (
+        z[:rows_per_shard, :W],
+        idx[:rows_per_shard, :W] if idx is not None else None,
+        varys[:, :rows_per_shard, :W] if varys is not None else None,
+    )
+
+
 def _render_shard(geom, textures, light_direction, look_from, look_at, up,
-                  *, pipeline, config, rows_per_shard):
+                  *, pipeline, config, rows_per_shard, backend="jnp"):
     """Render this device's row slab.  Runs inside shard_map with axis "rows"."""
     spec = PIPELINES[pipeline]
     W = config.width
@@ -56,8 +100,8 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         setup1 = triangle_setup(
             geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
         )
-        shadow_local, _ = rasterize_jnp(
-            setup1, rows_per_shard, W, config.tri_block, y_offset=y0
+        shadow_local, _, _ = _raster_shard(
+            setup1, config, rows_per_shard, y0, backend, spec=(), emit_idx=False
         )
         # The only cross-device dependency: assemble the full shadow map.
         shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
@@ -71,32 +115,63 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         shadow_full = None
 
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
-    z, idx = rasterize_jnp(setup, rows_per_shard, W, config.tri_block, y_offset=y0)
+    vspec = VARYING_SPECS[pipeline]
+    kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
+    z, idx, varys = _raster_shard(
+        setup, config, rows_per_shard, y0, backend, spec=kspec
+    )
 
-    frag = _shade_jnp_path(setup, idx, pipeline, config, y_offset=y0)
+    if varys is None:
+        frag = _shade_jnp_path(setup, idx, pipeline, config, y_offset=y0)
+    else:
+        frag = _fragments_from_planes(kspec, varys, rows_per_shard, W, y_offset=y0)
+        _add_const_gather(frag, kspec, vspec, setup, idx)
     if spec.two_pass:
         frag["shadow_buffer"] = shadow_full
+    if _needs_pack(textures, pipeline):
+        textures = shaders.pack_textures(
+            textures, _pipeline_maps()[pipeline], jnp
+        )
     colors = spec.shade(frag, uniforms, textures, config, jnp)
     covered = (idx >= 0)[..., None]
     frame = jnp.where(covered, colors, jnp.uint8(0))
     return frame, z, shadow_local
 
 
-@functools.partial(jax.jit, static_argnames=("pipeline", "config", "mesh"))
+def _pipeline_maps():
+    from ..pipelines.frame import _PIPELINE_MAPS
+
+    return _PIPELINE_MAPS
+
+
+def _needs_pack(textures, pipeline):
+    from ..pipelines.frame import _pk_needed
+
+    return _pk_needed(textures, pipeline)
+
+
+@functools.partial(jax.jit, static_argnames=("pipeline", "config", "mesh", "backend"))
 def render_frame_sharded(
-    geom, textures, light_direction, look_from, look_at, up, *, pipeline, config, mesh
+    geom, textures, light_direction, look_from, look_at, up, *, pipeline, config, mesh,
+    backend="jnp",
 ):
     """Row-sharded single frame. Returns dict(frame, z, shadow) of full size.
 
-    config.height must be divisible by the "rows" axis size.
+    config.height must be divisible by the "rows" axis size (and, for the
+    pallas backends, each shard's rows by tile_h).
     """
     n_rows = mesh.shape["rows"]
     if config.height % n_rows != 0:
         raise ValueError(f"height {config.height} not divisible by rows axis {n_rows}")
     rows_per = config.height // n_rows
+    if backend != "jnp" and rows_per % config.tile_h != 0:
+        raise ValueError(
+            f"shard height {rows_per} not divisible by tile_h {config.tile_h}"
+        )
 
     body = functools.partial(
-        _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per
+        _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per,
+        backend=backend,
     )
     rep = P()
     frame, z, shadow = jax.shard_map(
