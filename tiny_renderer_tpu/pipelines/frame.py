@@ -205,6 +205,14 @@ def render_frame(
     vspec = VARYING_SPECS[pipeline]
     H, W = config.height, config.width
 
+    if geom["pos_idx"].shape[0] == 0:  # empty scene: clear buffers only
+        return {
+            "frame": jnp.zeros((H, W, 3), jnp.uint8),
+            "z": jnp.full((H, W), ml.F32_MIN, jnp.float32),
+            "shadow": jnp.full((H, W), ml.F32_MIN, jnp.float32),
+            "overflow": jnp.asarray(False),
+        }
+
     if spec.two_pass:
         u1 = ml.shadow_pass_1_prepare(config, light_direction, look_at, up, jnp)
         setup1 = triangle_setup(
