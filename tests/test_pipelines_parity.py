@@ -54,7 +54,7 @@ def test_diablo_parity(diablo_scene_data, camera, pipeline):
     assert mismatch <= MISMATCH_BUDGET, f"{pipeline}: pixel mismatch {mismatch:.4%}"
 
 
-@pytest.mark.parametrize("pipeline", ["phong", "shadow", "darboux", "specular"])
+@pytest.mark.parametrize("pipeline", ["phong", "shadow", "darboux", "specular", "occlusion"])
 def test_pallas_interpret_parity(head_scene_data, camera, pipeline):
     """Pallas (interpret mode on CPU) against the oracle on a small frame."""
     o, r = _render_pair(head_scene_data, camera, pipeline,

@@ -245,7 +245,10 @@ def render_frame(
         frag["shadow_buffer"] = shadow_z
     if _pk_needed(textures, pipeline):
         textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
-    colors = spec.shade(frag, uniforms, textures, config, jnp)
+    if pipeline == "occlusion" and backend != "jnp":
+        colors = _shade_occlusion_compact(frag, idx, uniforms, config)
+    else:
+        colors = spec.shade(frag, uniforms, textures, config, jnp)
 
     covered = (idx >= 0)[..., None]
     frame = jnp.where(covered, colors, jnp.uint8(0))
@@ -268,6 +271,56 @@ def _add_const_gather(frag, kspec, vspec, setup, idx):
     for name, comps, _ in dropped:
         frag[name] = g[..., pos : pos + comps]
         pos += comps
+
+
+def _shade_occlusion_compact(frag, idx, uniforms, config):
+    """Coverage-compacted occlusion shading.
+
+    The occlusion core does 17 shadow-map gathers per fragment — the single
+    most expensive stage — and only covered pixels matter.  Covered pixels
+    are compacted into quarter-screen batches; batch k runs under a
+    lax.cond only when coverage exceeds k/4 of the screen (always correct,
+    no caps): typical reference scenes (~20-40% coverage) pay the 17
+    gathers on one or two quarter batches instead of every pixel.
+    """
+    H, W = idx.shape
+    HW = H * W
+    n_batches = 4
+    cap = -(-HW // n_batches)  # n_batches * cap >= HW: always complete
+
+    covered = (idx >= 0).reshape(-1)
+    count = jnp.sum(covered, dtype=jnp.int32)
+    (cidx,) = jnp.nonzero(covered, size=HW, fill_value=HW)
+    zfrag_flat = frag["zfrag"].reshape(-1)
+    shadow_buffer = frag["shadow_buffer"]
+
+    def occ_batch(batch):
+        safe = jnp.minimum(batch, HW - 1)
+        xf = (safe % W).astype(jnp.float32)
+        yf = (safe // W).astype(jnp.float32)
+        zf = zfrag_flat[safe]
+        return shaders.occlusion_coefficient(
+            xf, yf, zf, shadow_buffer, uniforms, config, jnp
+        )
+
+    occ_full = jnp.ones((HW + 1,), jnp.float32)
+
+    def run_batch(k, acc):
+        b = jax.lax.dynamic_slice_in_dim(cidx, k * cap, cap)
+        return acc.at[b].set(occ_batch(b), mode="drop")
+
+    occ_full = run_batch(0, occ_full)  # at least one batch (or the scene is empty)
+    for k in range(1, n_batches):
+        occ_full = jax.lax.cond(
+            count > k * cap,
+            functools.partial(run_batch, k),
+            lambda a: a,
+            occ_full,
+        )
+    occ = occ_full[:HW].reshape(H, W)
+    return ml.color_blend(
+        jnp.asarray(shaders.WHITE), jnp.asarray(shaders.BLACK), occ, jnp
+    )
 
 
 def _pk_needed(textures, pipeline):

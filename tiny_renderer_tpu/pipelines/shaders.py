@@ -463,19 +463,16 @@ def shade_shadow(frag, uniforms, textures, config, xp):
     )
 
 
-def shade_occlusion(frag, uniforms, textures, config, xp):
-    """Occlusion pass 2 (shader.rs:872-947): 16-sample circular probe of the
-    shadow buffer in the plane perpendicular to the light; grayscale output."""
-    x = frag["x"].astype(xp.float32)
-    y = frag["y"].astype(xp.float32)
-    z = frag["zfrag"]
-    p = xp.stack([x, y, z], axis=-1)
+def occlusion_coefficient(xf, yf, zfrag, shadow_buffer, uniforms, config, xp):
+    """The occlusion core (shader.rs:882-941) for any batch of fragments:
+    16-sample circular probe of the shadow buffer in the plane perpendicular
+    to the light.  Returns the occlusion coefficient per fragment."""
+    p = xp.stack([xf, yf, zfrag], axis=-1)
 
     light = ml.mat4_transform_vector(uniforms["i_m"], uniforms["t_light_direction"], xp)
     world = ml.mat4_transform_point(uniforms["i_vpmv"], p, xp)
     sm = ml.mat4_mul(uniforms["shadow_matrix"], uniforms["i_vpmv"])
     fsc = ml.mat4_transform_point(sm, p, xp)
-    shadow_buffer = frag["shadow_buffer"]
     fval = _shadow_fetch(shadow_buffer, fsc[..., 0], fsc[..., 1], config.width, xp)
 
     rot = ml.rotation_between(
@@ -501,5 +498,18 @@ def shade_occlusion(frag, uniforms, textures, config, xp):
         occluded = (sval - threshold) > fval
         strength = xp.minimum((sval - fval) / depth_scale, xp.float32(1.0))
         occ = xp.where(occluded, occ - inv_n * strength, occ)
+    return occ
 
+
+def shade_occlusion(frag, uniforms, textures, config, xp):
+    """Occlusion pass 2 (shader.rs:872-947): grayscale white * coefficient."""
+    occ = occlusion_coefficient(
+        frag["x"].astype(xp.float32),
+        frag["y"].astype(xp.float32),
+        frag["zfrag"],
+        frag["shadow_buffer"],
+        uniforms,
+        config,
+        xp,
+    )
     return ml.color_blend(xp.asarray(WHITE), xp.asarray(BLACK), occ, xp)
