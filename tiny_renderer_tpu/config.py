@@ -52,8 +52,9 @@ class RenderConfig:
     # bbox — far beyond anything the reference scenes produce.
     max_span_y: int = 8
     max_span_x: int = 4
-    # Triangle-block size for the pure-jnp raster path.
-    tri_block: int = 512
+    # Triangle-block size for the pure-jnp raster path.  Each scan step
+    # materializes (tri_block, H, W) intermediates — keep modest.
+    tri_block: int = 64
 
     # Camera/light orbit speeds in rad/s (src/app.rs:12-13).
     camera_speed: float = 3.0
