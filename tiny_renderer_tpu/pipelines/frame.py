@@ -253,7 +253,7 @@ def render_frame(
     covered = (idx >= 0)[..., None]
     frame = jnp.where(covered, colors, jnp.uint8(0))
     # overflow: a binning coverage cap was hit (coverage silently truncated —
-    # raise max_tris_per_tile / max_span_* if this fires; SURVEY.md §5.3).
+    # raise max_incidences / max_span_* if this fires; SURVEY.md §5.3).
     return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
 
 

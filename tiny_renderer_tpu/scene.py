@@ -119,7 +119,7 @@ class Scene:
     @property
     def overflowed(self) -> bool:
         """True if the last render hit a binning coverage cap (coverage was
-        silently truncated); raise RenderConfig.max_tris_per_tile /
+        silently truncated); raise RenderConfig.max_incidences /
         max_span_* if this fires."""
         out = self._require_render()
         return bool(np.asarray(out["overflow"]))
