@@ -132,7 +132,10 @@ int trt_decode_tga(const char* path, int32_t* out_h, int32_t* out_w, void** out_
       int count = (packet & 0x7F) + 1;
       if (packet & 0x80) {
         if (pos + bytes_pp > buf.size()) return 6;
-        for (int c = 0; c < count && written + bytes_pp <= total; ++c) {
+        // A run past the pixel total is malformed input — error like the
+        // Python decoder (tga.py), don't silently truncate.
+        if (written + static_cast<size_t>(count) * bytes_pp > total) return 6;
+        for (int c = 0; c < count; ++c) {
           std::memcpy(raw.data() + written, buf.data() + pos, bytes_pp);
           written += bytes_pp;
         }
@@ -240,8 +243,12 @@ int trt_parse_obj(const char* path,
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
-  std::vector<char> buf(static_cast<size_t>(size));
-  if (size > 0 && std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+  // +1: NUL-terminate so strtof/strtol on a file ending mid-number cannot
+  // read past the allocation.
+  std::vector<char> buf(static_cast<size_t>(size) + 1, '\0');
+  if (size > 0 &&
+      std::fread(buf.data(), 1, static_cast<size_t>(size), f) !=
+          static_cast<size_t>(size)) {
     std::fclose(f);
     return 2;
   }
@@ -250,7 +257,7 @@ int trt_parse_obj(const char* path,
   std::vector<float> pos, uv, norm;
   std::vector<int32_t> pi, ti, ni;
   const char* p = buf.data();
-  const char* end = buf.data() + buf.size();
+  const char* end = buf.data() + static_cast<size_t>(size);
 
   while (p < end) {
     const char* line_end = p;

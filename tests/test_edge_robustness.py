@@ -90,3 +90,65 @@ def test_empty_scene_renders_black():
         jnp.asarray(np.array([0, 1, 0], np.float32)),
     )
     assert not np.asarray(out["frame"]).any()
+
+
+def _overflow_geom():
+    """One normal on-screen triangle + one whose vertex projects with
+    near-zero homogeneous w (raster coords ~ 2^18, beyond the int32
+    exactness envelope EXACT_COORD_MAX)."""
+    positions = np.array(
+        [
+            # normal triangle near the origin
+            [-0.3, -0.3, 0.0], [0.3, -0.3, 0.0], [0.0, 0.3, 0.0],
+            # triangle with one vertex near the projection singularity
+            # (camera at z=1, coef=-0.2 => w=0 at z=6)
+            [-0.2, -0.2, 0.0], [0.2, -0.2, 0.0], [0.3, 0.2, 5.9999],
+        ],
+        np.float32,
+    )
+    idx = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    return {
+        "positions": positions,
+        "tex_coords": np.full((6, 2), 0.5, np.float32),
+        "normals": np.tile(np.array([[0, 0, 1]], np.float32), (6, 1)),
+        "pos_idx": idx,
+        "tex_idx": idx,
+        "normal_idx": idx,
+    }
+
+
+def test_coord_overflow_triangle_flagged_and_dropped():
+    """Raster coords beyond EXACT_COORD_MAX would wrap the int32 edge
+    products (the reference's f32 cross merely loses precision,
+    scene.rs:174-197); we drop the triangle and raise coord_overflow."""
+    from tiny_renderer_tpu.ops import mathlib as ml
+    from tiny_renderer_tpu.ops.vertex import EXACT_COORD_MAX, triangle_setup
+
+    geom = _overflow_geom()
+    uni = ml.default_prepare(
+        CFG,
+        np.array([0, 0, 1], np.float32),
+        np.array([0, 0, 1], np.float32),
+        np.zeros(3, np.float32),
+        np.array([0, 1, 0], np.float32),
+        np,
+    )
+    setup = triangle_setup(geom, uni, CFG, cull=False, xp=np)
+    assert np.abs(setup["rx"][1]).max() > EXACT_COORD_MAX
+    assert bool(setup["coord_overflow"])
+    assert bool(setup["valid"][0]) and not bool(setup["valid"][1])
+
+
+def test_coord_overflow_surfaced_in_frame_output():
+    geom = jax.tree.map(jnp.asarray, _overflow_geom())
+    tex = jax.tree.map(jnp.asarray, make_textures(16))
+    fn = make_frame_fn("phong", CFG, backend="jnp")
+    out = fn(
+        geom, tex,
+        jnp.asarray(np.array([0, 0, 1], np.float32)),
+        jnp.asarray(np.array([0, 0, 1], np.float32)),
+        jnp.zeros(3),
+        jnp.asarray(np.array([0, 1, 0], np.float32)),
+    )
+    assert bool(np.asarray(out["overflow"]))
+    assert np.asarray(out["frame"]).shape == (64, 64, 3)

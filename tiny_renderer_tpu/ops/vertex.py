@@ -27,6 +27,10 @@ from __future__ import annotations
 
 from . import mathlib as ml
 
+# Largest |raster coord| for which the int32 edge-coefficient arithmetic is
+# exact (see docs/DESIGN.md): products <= 2^29, per-pixel evals <= 2^30.
+EXACT_COORD_MAX = 1 << 14
+
 
 def gather_triangles(geom, xp):
     """Per-triangle attribute gather: positions (T,3v,3), uvs (T,3v,2), normals."""
@@ -74,6 +78,18 @@ def triangle_setup(geom, uniforms, config, *, matrix_key="vpmv", cull=True, need
     ry = ml.rust_f32_to_i32(tp[..., 1], xp)
     zv = tp[..., 2]
 
+    # Exactness envelope: the integer edge-coefficient products below are
+    # exact in int32 only for |coords| <= 2^14 (products <= 2^29, per-pixel
+    # edge evaluations <= 2^30; see docs/DESIGN.md).  Geometry projecting
+    # with near-zero homogeneous w can produce raster coords up to ~2^31,
+    # whose products would silently wrap — mark such triangles invalid and
+    # surface the event as coord_overflow (the reference's f32 cross product
+    # merely loses precision there; scene.rs:174-197).
+    in_exact = xp.all(
+        (xp.abs(rx) <= EXACT_COORD_MAX) & (xp.abs(ry) <= EXACT_COORD_MAX),
+        axis=1,
+    )
+
     x1, x2, x3 = rx[:, 0], rx[:, 1], rx[:, 2]
     y1, y2, y3 = ry[:, 0], ry[:, 1], ry[:, 2]
     # Edge-function coefficients: cross.x = a1*px + b1*py + c1,
@@ -105,6 +121,11 @@ def triangle_setup(geom, uniforms, config, *, matrix_key="vpmv", cull=True, need
     y1c = xp.minimum(ymax, config.height - 1)
     keep = keep & (x0 <= x1c) & (y0 <= y1c)
 
+    # Triangles that would rasterize on-screen but exceed the exactness
+    # envelope: dropped (coverage loss) — callers surface this flag.
+    coord_overflow = xp.any(keep & ~in_exact)
+    keep = keep & in_exact
+
     uv_raw = tris["uv_raw"]
     uv = xp.stack([uv_raw[..., 0], xp.float32(1.0) - uv_raw[..., 1]], axis=-1)
 
@@ -125,6 +146,7 @@ def triangle_setup(geom, uniforms, config, *, matrix_key="vpmv", cull=True, need
         "y0": y0,
         "y1": y1c,
         "uv": uv,
+        "coord_overflow": coord_overflow,
     }
 
     if "face_intensity" in needs:

@@ -58,6 +58,10 @@ _PIPELINE_MAPS = {
     "shadow": ("texture",),
     "occlusion": (),
 }
+# shaders._PIPELINE_MAPS_FOR_SPEC is a copy of this table (import-cycle
+# avoidance); the kernel varying spec's texel-index plane dimensions must
+# agree with the maps pack_textures packs.
+assert _PIPELINE_MAPS == shaders._PIPELINE_MAPS_FOR_SPEC
 
 # Vertex-attribute keys the reference (gather) path fetches per fragment to
 # feed compute_varyings.
@@ -221,6 +225,7 @@ def render_frame(
         shadow_z, _, _, ovf1 = _rasterize(
             setup1, config, backend, spec=(), emit_idx=False
         )
+        ovf1 = ovf1 | setup1["coord_overflow"]
         uniforms = ml.shadow_pass_2_prepare(
             config, light_direction, look_from, look_at, up, jnp
         )
@@ -235,6 +240,7 @@ def render_frame(
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
     kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
     z, idx, varys, ovf2 = _rasterize(setup, config, backend, spec=kspec)
+    ovf2 = ovf2 | setup["coord_overflow"]
 
     if varys is None:
         frag = _shade_jnp_path(setup, idx, pipeline, config)
@@ -252,8 +258,9 @@ def render_frame(
 
     covered = (idx >= 0)[..., None]
     frame = jnp.where(covered, colors, jnp.uint8(0))
-    # overflow: a binning coverage cap was hit (coverage silently truncated —
-    # raise max_incidences / max_span_* if this fires; SURVEY.md §5.3).
+    # overflow: a binning coverage cap was hit (raise max_incidences /
+    # max_span_* if this fires; SURVEY.md §5.3) or triangles exceeded the
+    # int32 exactness envelope (vertex.EXACT_COORD_MAX) and were dropped.
     return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
 
 
