@@ -106,3 +106,80 @@ def test_row_sharded_pallas_matches_single(head_scene_data, camera, pipeline, ei
     np.testing.assert_array_equal(
         np.asarray(sharded["shadow"]), np.asarray(single["shadow"])
     )
+
+
+def test_sharded_overflow_no_false_positive(head_scene_data, camera, eight_devices):
+    """Normal scenes must report overflow=False on the sharded paths."""
+    cfg = RenderConfig(width=64, height=64, tile_h=8, tri_block=32)
+    mesh = make_row_mesh(eight_devices, batch=1)
+    gj, tj, *cam = _args(head_scene_data, camera)
+    out = render_frame_sharded(
+        gj, tj, *cam, pipeline="shadow", config=cfg, mesh=mesh,
+        backend="pallas_interpret",
+    )
+    assert not bool(np.asarray(out["overflow"]))
+
+
+def test_sharded_overflow_propagates_coord_overflow(camera, eight_devices):
+    """A triangle beyond the int32 exactness envelope must flip overflow on
+    the sharded path, matching render_frame's single-device contract."""
+    cfg = RenderConfig(width=64, height=64, tri_block=32)
+    mesh = make_row_mesh(eight_devices, batch=1)
+    positions = np.array(
+        [
+            [-0.3, -0.3, 0.0], [0.3, -0.3, 0.0], [0.0, 0.3, 0.0],
+            # vertex near the projection singularity (w ~ 0): coords ~ 2^18
+            [-0.2, -0.2, 0.0], [0.2, -0.2, 0.0], [0.3, 0.2, 5.9999],
+        ],
+        np.float32,
+    )
+    idx = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    geom = {
+        "positions": positions,
+        "tex_coords": np.full((6, 2), 0.5, np.float32),
+        "normals": np.tile(np.array([[0, 0, 1]], np.float32), (6, 1)),
+        "pos_idx": idx,
+        "tex_idx": idx,
+        "normal_idx": idx,
+    }
+    tex = {
+        "texture": np.zeros((16, 16, 3), np.uint8),
+        "normal_map": np.zeros((16, 16, 3), np.uint8),
+        "normal_map_tangent": np.zeros((16, 16, 3), np.uint8),
+        "specular_map": np.zeros((16, 16, 3), np.uint8),
+    }
+    _, _, light, look_from, look_at, up = _args((geom, tex), camera)
+    out = render_frame_sharded(
+        jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+        jnp.asarray(np.array([0, 0, 1], np.float32)),
+        jnp.asarray(np.array([0, 0, 1], np.float32)),
+        look_at, up, pipeline="phong", config=cfg, mesh=mesh,
+    )
+    assert bool(np.asarray(out["overflow"]))
+
+
+def test_batch_sharded_pallas_backend(head_scene_data, camera, eight_devices):
+    """The batch axis must exercise the Pallas kernel too and report a
+    per-frame overflow vector."""
+    cfg = RenderConfig(width=64, height=64, tile_h=8, tri_block=32)
+    mesh = make_row_mesh(eight_devices, batch=2)
+    gj, tj, light, look_from, look_at, up = _args(head_scene_data, camera)
+
+    B = 2
+    angles = np.linspace(0, 0.5, B, dtype=np.float32)
+    lights = np.stack([[np.sin(a), 0, np.cos(a)] for a in angles]).astype(np.float32)
+    froms = np.stack([[np.sin(a + 0.1), 0, np.cos(a + 0.1)] for a in angles]).astype(np.float32)
+
+    out = render_batch_sharded(
+        gj, tj, jnp.asarray(lights), jnp.asarray(froms), look_at, up,
+        pipeline="phong", config=cfg, mesh=mesh, backend="pallas_interpret",
+    )
+    frames = np.asarray(out["frame"])
+    assert frames.shape == (B, 64, 64, 3)
+    assert np.asarray(out["overflow"]).shape == (B,)
+    assert not np.asarray(out["overflow"]).any()
+
+    fn = make_frame_fn("phong", cfg, backend="pallas_interpret")
+    for b in range(B):
+        single = fn(gj, tj, jnp.asarray(lights[b]), jnp.asarray(froms[b]), look_at, up)
+        np.testing.assert_array_equal(frames[b], np.asarray(single["frame"]))

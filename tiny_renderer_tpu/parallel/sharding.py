@@ -64,10 +64,10 @@ def _raster_shard(setup, config, rows_per_shard, y0, backend, spec=(), emit_idx=
     W = config.width
     if backend == "jnp":
         z, idx = rasterize_jnp(setup, rows_per_shard, W, config.tri_block, y_offset=y0)
-        return z, idx, None
+        return z, idx, None, jnp.asarray(False)
     local_cfg = dataclasses.replace(config, height=rows_per_shard)
     row_off = y0 // config.tile_h
-    csr, starts, _ = bin_triangles(setup, local_cfg, spec, row_tile_offset=row_off)
+    csr, starts, overflowed = bin_triangles(setup, local_cfg, spec, row_tile_offset=row_off)
     z, idx, varys = rasterize_pallas(
         csr,
         starts,
@@ -84,6 +84,7 @@ def _raster_shard(setup, config, rows_per_shard, y0, backend, spec=(), emit_idx=
         z[:rows_per_shard, :W],
         idx[:rows_per_shard, :W] if idx is not None else None,
         varys[:, :rows_per_shard, :W] if varys is not None else None,
+        overflowed,
     )
 
 
@@ -100,9 +101,10 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         setup1 = triangle_setup(
             geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
         )
-        shadow_local, _, _ = _raster_shard(
+        shadow_local, _, _, ovf1 = _raster_shard(
             setup1, config, rows_per_shard, y0, backend, spec=(), emit_idx=False
         )
+        ovf1 = ovf1 | setup1["coord_overflow"]
         # The only cross-device dependency: assemble the full shadow map.
         shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
         uniforms = ml.shadow_pass_2_prepare(
@@ -113,13 +115,15 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         uniforms = ml.default_prepare(config, light_direction, look_from, look_at, up, jnp)
         shadow_local = jnp.full((rows_per_shard, W), ml.F32_MIN, jnp.float32)
         shadow_full = None
+        ovf1 = jnp.asarray(False)
 
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
     vspec = VARYING_SPECS[pipeline]
     kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
-    z, idx, varys = _raster_shard(
+    z, idx, varys, ovf2 = _raster_shard(
         setup, config, rows_per_shard, y0, backend, spec=kspec
     )
+    ovf2 = ovf2 | setup["coord_overflow"]
 
     if varys is None:
         frag = _shade_jnp_path(setup, idx, pipeline, config, y_offset=y0)
@@ -135,7 +139,10 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
     colors = spec.shade(frag, uniforms, textures, config, jnp)
     covered = (idx >= 0)[..., None]
     frame = jnp.where(covered, colors, jnp.uint8(0))
-    return frame, z, shadow_local
+    # Per-shard overflow (binning caps / coord exactness drops), shape (1,)
+    # so shard_map can concatenate over "rows"; callers any()-reduce it.
+    overflow = jnp.reshape(ovf1 | ovf2, (1,))
+    return frame, z, shadow_local, overflow
 
 
 def _pipeline_maps():
@@ -174,24 +181,33 @@ def render_frame_sharded(
         backend=backend,
     )
     rep = P()
-    frame, z, shadow = jax.shard_map(
+    frame, z, shadow, ovf = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, rep),
-        out_specs=(P("rows", None, None), P("rows", None), P("rows", None)),
+        out_specs=(
+            P("rows", None, None),
+            P("rows", None),
+            P("rows", None),
+            P("rows"),
+        ),
         check_vma=False,
     )(geom, textures, light_direction, look_from, look_at, up)
-    return {"frame": frame, "z": z, "shadow": shadow}
+    # Same contract as render_frame: any shard hitting a binning cap or the
+    # coord exactness envelope is surfaced, not silently truncated.
+    return {"frame": frame, "z": z, "shadow": shadow, "overflow": jnp.any(ovf)}
 
 
-@functools.partial(jax.jit, static_argnames=("pipeline", "config", "mesh"))
+@functools.partial(jax.jit, static_argnames=("pipeline", "config", "mesh", "backend"))
 def render_batch_sharded(
-    geom, textures, light_directions, look_froms, look_at, up, *, pipeline, config, mesh
+    geom, textures, light_directions, look_froms, look_at, up, *, pipeline, config, mesh,
+    backend="jnp",
 ):
     """Batch of frames on a 2D ("batch", "rows") mesh.
 
     light_directions/look_froms: (B, 3) sharded over "batch"; each frame's
-    rows are sharded over "rows".  Returns frames (B, H, W, 3).
+    rows are sharded over "rows".  Returns frames (B, H, W, 3) plus a
+    per-frame (B,) overflow flag (same contract as render_frame).
     """
     n_batch = mesh.shape["batch"]
     n_rows = mesh.shape["rows"]
@@ -201,22 +217,31 @@ def render_batch_sharded(
     if config.height % n_rows != 0:
         raise ValueError(f"height {config.height} not divisible by rows axis {n_rows}")
     rows_per = config.height // n_rows
+    if backend != "jnp" and rows_per % config.tile_h != 0:
+        raise ValueError(
+            f"shard height {rows_per} not divisible by tile_h {config.tile_h}"
+        )
 
     def body(geom, textures, lights, froms, look_at, up):
         shard = functools.partial(
-            _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per
+            _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per,
+            backend=backend,
         )
-        frame, z, _ = jax.vmap(
+        frame, z, _, ovf = jax.vmap(
             lambda l, f: shard(geom, textures, l, f, look_at, up)
         )(lights, froms)
-        return frame, z
+        return frame, z, ovf  # ovf: (B_local, 1), concatenated over "rows"
 
     rep = P()
-    frames, zs = jax.shard_map(
+    frames, zs, ovfs = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(rep, rep, P("batch", None), P("batch", None), rep, rep),
-        out_specs=(P("batch", "rows", None, None), P("batch", "rows", None)),
+        out_specs=(
+            P("batch", "rows", None, None),
+            P("batch", "rows", None),
+            P("batch", "rows"),
+        ),
         check_vma=False,
     )(geom, textures, light_directions, look_froms, look_at, up)
-    return {"frame": frames, "z": zs}
+    return {"frame": frames, "z": zs, "overflow": jnp.any(ovfs, axis=1)}
