@@ -1,7 +1,10 @@
 """Full-resolution (800x800) golden parity vs the oracle.
 
+All 7 pipelines x both assets — the same matrix scripts/tpu_smoke.py
+certifies on hardware (PARITY.md: worst certified mismatch 0.073%).
+
 Slow (~1 min per config on CPU): run explicitly with
-    python -m pytest tests/test_fullsize_parity.py -m slow -q
+    python -m pytest tests/test_fullsize_parity.py -m slow -q --override-ini 'addopts='
 Skipped by default; the 160x160 parity suite covers the same code paths.
 """
 
@@ -16,10 +19,17 @@ from tiny_renderer_tpu.pipelines.frame import make_frame_fn
 
 pytestmark = pytest.mark.slow
 
+ALL_PIPELINES = (
+    "default", "phong", "normal_map", "specular", "darboux", "shadow", "occlusion"
+)
 
-@pytest.mark.parametrize("pipeline", ["phong", "shadow"])
-def test_fullsize_diablo(diablo_scene_data, camera, pipeline):
-    geom, tex = diablo_scene_data
+# Tie-flip budget: PARITY.md certifies <= 0.073% on hardware; 0.1% leaves
+# headroom for resolve-order ties only, not semantic drift.
+MISMATCH_BUDGET = 0.001
+
+
+def _run(scene_data, camera, pipeline):
+    geom, tex = scene_data
     light, look_from, look_at, up = camera
     cfg = RenderConfig(width=800, height=800, tri_block=64)
     o = render_oracle(geom, tex, light, look_from, look_at, up,
@@ -30,4 +40,16 @@ def test_fullsize_diablo(diablo_scene_data, camera, pipeline):
            jnp.asarray(up))
     frame = np.asarray(r["frame"])
     mismatch = (frame != o["frame"]).any(axis=-1).mean()
-    assert mismatch <= 0.003, f"{pipeline}: 800x800 mismatch {mismatch:.4%}"
+    assert mismatch <= MISMATCH_BUDGET, (
+        f"{pipeline}: 800x800 mismatch {mismatch:.4%}"
+    )
+
+
+@pytest.mark.parametrize("pipeline", ALL_PIPELINES)
+def test_fullsize_diablo(diablo_scene_data, camera, pipeline):
+    _run(diablo_scene_data, camera, pipeline)
+
+
+@pytest.mark.parametrize("pipeline", ALL_PIPELINES)
+def test_fullsize_head(head_scene_data, camera, pipeline):
+    _run(head_scene_data, camera, pipeline)
