@@ -85,3 +85,61 @@ def test_two_runs_bit_identical(head_scene_data, camera):
     np.testing.assert_array_equal(a["frame"], b["frame"])
     np.testing.assert_array_equal(a["z"], b["z"])
     np.testing.assert_array_equal(a["shadow"], b["shadow"])
+
+
+def _strip_args(head_scene_data, camera):
+    geom, tex = head_scene_data
+    light, look_from, look_at, up = camera
+    return (
+        jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+        jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
+        jnp.asarray(up),
+    )
+
+
+@pytest.mark.parametrize(
+    "pipeline", ["default", "phong", "normal_map", "specular", "darboux", "shadow"]
+)
+def test_strip_shade_bit_identical_to_planes(head_scene_data, camera, pipeline):
+    """Strip-compacted shading must be BIT-identical to the varying-plane
+    shade on the same kernel raster: the compaction changes only which
+    pixels the (identical) fragment math runs on.  (Versus the jnp backend
+    only the raster tie-flip budget applies — the two rasters may resolve
+    equal-z fragments to different triangles, which flat-shaded pipelines
+    expose as full color changes.)"""
+    from tiny_renderer_tpu.pipelines.frame import make_frame_fn
+
+    args = _strip_args(head_scene_data, camera)
+    cfg = RenderConfig(width=96, height=96, tile_h=8, tri_block=32)
+    assert cfg.compact_shade  # default: strips on kernel backends
+    strips = make_frame_fn(pipeline, cfg, backend="pallas_interpret")(*args)
+    cfg_planes = RenderConfig(
+        width=96, height=96, tile_h=8, tri_block=32, compact_shade=False
+    )
+    planes = make_frame_fn(pipeline, cfg_planes, backend="pallas_interpret")(*args)
+    np.testing.assert_array_equal(
+        np.asarray(strips["frame"]), np.asarray(planes["frame"])
+    )
+
+    # Tiny strip batches force the full lax.cond cascade.
+    cfg_small = RenderConfig(
+        width=96, height=96, tile_h=8, tri_block=32, strip_batch=7
+    )
+    small = make_frame_fn(pipeline, cfg_small, backend="pallas_interpret")(*args)
+    np.testing.assert_array_equal(
+        np.asarray(small["frame"]), np.asarray(planes["frame"])
+    )
+
+
+@pytest.mark.parametrize("pipeline", ["phong", "shadow"])
+def test_strip_shade_within_tie_flip_budget_of_jnp(head_scene_data, camera, pipeline):
+    from tiny_renderer_tpu.pipelines.frame import make_frame_fn
+
+    args = _strip_args(head_scene_data, camera)
+    cfg = RenderConfig(width=96, height=96, tile_h=8, tri_block=32)
+    ref = np.asarray(make_frame_fn(pipeline, cfg, backend="jnp")(*args)["frame"])
+    strips = np.asarray(
+        make_frame_fn(pipeline, cfg, backend="pallas_interpret")(*args)["frame"]
+    )
+    mismatch = (ref != strips).any(axis=-1).mean()
+    assert mismatch <= MISMATCH_BUDGET, f"{pipeline}: mismatch {mismatch:.4%}"

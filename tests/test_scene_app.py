@@ -78,3 +78,30 @@ def test_app_rejects_bad_pipeline():
 
     with pytest.raises(SystemExit):
         main(["-s", "nope"])
+
+
+def test_stage_breakdown(head_model, capsys):
+    """--timing's per-stage breakdown: all stages measured, deltas sane."""
+    from tiny_renderer_tpu import RenderConfig, Scene
+    from tiny_renderer_tpu.pipelines.profile import print_stage_breakdown
+
+    cfg = RenderConfig(width=64, height=64, tri_block=32)
+    scene = Scene(head_model, "shadow", cfg, backend="jnp")
+    deltas = print_stage_breakdown(scene, iters=2)
+    out = capsys.readouterr().out
+    for label in ("vertex setup", "+ raster", "+ shade", "frame fetch"):
+        assert label in out
+    assert set(deltas) == {"vertex", "bin", "raster", "full", "fetch"}
+    assert all(np.isfinite(v) for v in deltas.values())
+    assert deltas["full"] > -deltas["raster"]  # cumulative ordering sanity
+
+
+def test_stage_breakdown_pallas_interpret(head_model):
+    """The binning/raster prefixes must also compile on the kernel path."""
+    from tiny_renderer_tpu import RenderConfig, Scene
+    from tiny_renderer_tpu.pipelines.profile import stage_breakdown
+
+    cfg = RenderConfig(width=128, height=64, tile_h=8, tri_block=32)
+    scene = Scene(head_model, "phong", cfg, backend="pallas_interpret")
+    deltas, cumulative = stage_breakdown(scene, iters=1)
+    assert set(cumulative) == {"vertex", "bin", "raster", "full"}

@@ -79,7 +79,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="open an interactive viewer (requires a display)")
     ap.add_argument("--no-fps", action="store_true", help="disable the FPS printout")
     ap.add_argument("--timing", action="store_true",
-                    help="print a per-frame wall-time summary at exit")
+                    help="print a per-frame wall-time summary and a "
+                         "per-stage device-time breakdown at exit")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     return ap
@@ -124,75 +125,133 @@ def run_headless(scene: Scene, args) -> np.ndarray:
             f"min {1e3 * min(steady):.2f} ms over {len(steady)} frames "
             f"(first frame incl. compile: {1e3 * times[0]:.0f} ms)"
         )
+        from .pipelines.profile import print_stage_breakdown
+
+        print_stage_breakdown(scene)
     return scene.get_frame_buffer()
 
 
-def run_interactive(scene: Scene, args) -> np.ndarray:
-    if not os.environ.get("DISPLAY"):
-        print("no display available; falling back to headless")
-        return run_headless(scene, args)
-    try:
+class InputState:
+    """The reference's per-frame input integration (src/app.rs:55-80,
+    :173-199): a/d orbit the camera, q/e orbit the light, at speeds scaled
+    by the PREVIOUS frame's dt; Escape exits (the reference fires on key
+    release, app.rs:74; we also accept press for backends that don't
+    deliver releases).  Divergence: the reference re-arms actions from a
+    drained event channel each frame (key auto-repeat keeps them alive);
+    we track held keys via press/release pairs — same steady-state
+    behavior without depending on OS repeat rate."""
+
+    def __init__(self, camera_angle, light_angle, camera_speed, light_speed):
+        self.camera = camera_angle
+        self.light = light_angle
+        self._camera_speed = camera_speed
+        self._light_speed = light_speed
+        self.keys: set = set()
+        self.exit = False
+
+    def on_press(self, key):
+        if key == "escape":
+            self.exit = True
+        else:
+            self.keys.add(key)
+
+    def on_release(self, key):
+        if key == "escape":
+            self.exit = True
+        self.keys.discard(key)
+
+    def integrate(self, dt):
+        """Reference keymap (src/app.rs:63-77, :173-199)."""
+        if "d" in self.keys:
+            self.camera += self._camera_speed * dt
+        if "a" in self.keys:
+            self.camera -= self._camera_speed * dt
+        if "e" in self.keys:
+            self.light += self._light_speed * dt
+        if "q" in self.keys:
+            self.light -= self._light_speed * dt
+
+
+class MatplotlibViewer:
+    """Window backend for the interactive loop (show-image equivalent,
+    reference Cargo.toml:12 + src/app.rs:148-153).  Raises on construction
+    when no GUI backend is available."""
+
+    def __init__(self):
         import matplotlib
 
         matplotlib.use("TkAgg")
         import matplotlib.pyplot as plt
-    except Exception as e:  # pragma: no cover - depends on host GUI
-        print(f"interactive viewer unavailable ({e}); falling back to headless")
-        return run_headless(scene, args)
+
+        self._plt = plt
+        self.fig, self._ax = plt.subplots(figsize=(6, 6))
+        self._ax.set_axis_off()
+        self._im = None
+        plt.ion()
+        plt.show()
+
+    def connect(self, on_press, on_release):
+        self.fig.canvas.mpl_connect(
+            "key_press_event", lambda event: on_press(event.key)
+        )
+        self.fig.canvas.mpl_connect(
+            "key_release_event", lambda event: on_release(event.key)
+        )
+
+    def show(self, frame):
+        if self._im is None:
+            self._im = self._ax.imshow(frame)
+        else:
+            self._im.set_data(frame)
+        self.fig.canvas.draw_idle()
+        self.fig.canvas.flush_events()
+
+    @property
+    def alive(self) -> bool:
+        return self._plt.fignum_exists(self.fig.number)
+
+    def close(self):
+        self._plt.ioff()
+        self._plt.close(self.fig)
+
+
+def run_interactive(scene: Scene, args, viewer=None, clock=time.monotonic) -> np.ndarray:
+    """The reference's windowed frame loop (src/app.rs:155-247).
+
+    `viewer`/`clock` are injectable so tests can drive the REAL loop with
+    synthetic key events and a deterministic clock (tests/test_interactive.py);
+    by default a matplotlib window is opened when a display exists.
+    """
+    if viewer is None:
+        if not os.environ.get("DISPLAY"):
+            print("no display available; falling back to headless")
+            return run_headless(scene, args)
+        try:
+            viewer = MatplotlibViewer()
+        except Exception as e:  # pragma: no cover - depends on host GUI
+            print(f"interactive viewer unavailable ({e}); falling back to headless")
+            return run_headless(scene, args)
 
     cfg = scene.config
-    state = {
-        "camera": args.camera_angle,
-        "light": args.light_angle,
-        "keys": set(),
-        "exit": False,
-    }
-
-    def on_press(event):
-        if event.key == "escape":
-            state["exit"] = True
-        else:
-            state["keys"].add(event.key)
-
-    def on_release(event):
-        state["keys"].discard(event.key)
-
-    fig, ax = plt.subplots(figsize=(6, 6))
-    fig.canvas.mpl_connect("key_press_event", on_press)
-    fig.canvas.mpl_connect("key_release_event", on_release)
-    ax.set_axis_off()
-    im = None
+    state = InputState(
+        args.camera_angle, args.light_angle, cfg.camera_speed, cfg.light_speed
+    )
+    viewer.connect(state.on_press, state.on_release)
     fps = FpsCounter(enabled=not args.no_fps)
     frame_time = 0.0
     frame = None
-    plt.ion()
-    plt.show()
-    while not state["exit"] and plt.fignum_exists(fig.number):
-        t0 = time.monotonic()
-        # Reference keymap (src/app.rs:63-77): a/d camera, q/e light.
-        if "d" in state["keys"]:
-            state["camera"] += cfg.camera_speed * frame_time
-        if "a" in state["keys"]:
-            state["camera"] -= cfg.camera_speed * frame_time
-        if "e" in state["keys"]:
-            state["light"] += cfg.light_speed * frame_time
-        if "q" in state["keys"]:
-            state["light"] -= cfg.light_speed * frame_time
-        look_from, look_at, up, light = _angles_to_vectors(state["camera"], state["light"])
+    while not state.exit and viewer.alive:
+        t0 = clock()
+        state.integrate(frame_time)
+        look_from, look_at, up, light = _angles_to_vectors(state.camera, state.light)
         scene.set_camera(look_from, look_at, up)
         scene.set_light_direction(light)
         scene.render()
         frame = scene.get_frame_buffer()
-        if im is None:
-            im = ax.imshow(frame)
-        else:
-            im.set_data(frame)
-        fig.canvas.draw_idle()
-        fig.canvas.flush_events()
+        viewer.show(frame)
         fps.tick()
-        frame_time = time.monotonic() - t0
-    plt.ioff()
-    plt.close(fig)
+        frame_time = clock() - t0
+    viewer.close()
     return frame
 
 

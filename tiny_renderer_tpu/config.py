@@ -55,6 +55,12 @@ class RenderConfig:
     # Triangle-block size for the pure-jnp raster path.  Each scan step
     # materializes (tri_block, H, W) intermediates — keep modest.
     tri_block: int = 64
+    # Strip-compacted shading (kernel backends): per-pixel gathers run only
+    # on covered 128-px strips, in batches of strip_batch strips gated by
+    # the covered-strip count (see frame._shade_strips).  compact_shade
+    # False restores the full-screen varying-plane shade.
+    compact_shade: bool = True
+    strip_batch: int = 512
 
     # Camera/light orbit speeds in rad/s (src/app.rs:12-13).
     camera_speed: float = 3.0
@@ -73,6 +79,8 @@ class RenderConfig:
             raise ValueError("max_incidences must be >= 8")
         if self.occlusion_samples < 1:
             raise ValueError("occlusion_samples must be >= 1")
+        if self.strip_batch < 1:
+            raise ValueError("strip_batch must be >= 1")
 
     @property
     def padded_width(self) -> int:

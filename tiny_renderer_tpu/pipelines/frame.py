@@ -128,17 +128,18 @@ def _fragments_from_planes(spec, varys, H, W, y_offset=0):
     return frag
 
 
-def _gather_fragments(setup, idx, keys, config, y_offset=0):
+def _gather_fragments(setup, idx, keys, config, y_offset=0, pixel_coords=None):
     """Reference-path fragment inputs: per-pixel gather of vertex attributes.
 
     All attributes are packed into ONE (T, L) f32 matrix and fetched with a
     single per-pixel gather (TPU gathers cost per row), then barycentric
     coordinates are recomputed with the reference's exact f32 expression
     (scene.rs:192-196).  The edge coefficients are integers < 2^24, exact in
-    f32.  Used by the jnp backend and the sharded path; the NumPy oracle
+    f32.  Used by the jnp backend, the sharded path, and the strip-compacted
+    shade (idx of any shape + explicit pixel coords); the NumPy oracle
     mirrors this in oracle/reference_cpu.py.
     """
-    H, W = idx.shape
+    shape = idx.shape
     safe = jnp.maximum(idx, 0)
 
     cols = [
@@ -160,12 +161,15 @@ def _gather_fragments(setup, idx, keys, config, y_offset=0):
         cols.append(flat)
     packed = jnp.concatenate(cols, axis=1)  # (T, L)
 
-    g = packed[safe]  # (H, W, L) — the one gather
+    g = packed[safe]  # (*shape, L) — the one gather
     frag = {}
-    for k, (start, width, shape) in layout.items():
-        frag[k] = g[..., start : start + width].reshape(H, W, *shape)
+    for k, (start, width, kshape) in layout.items():
+        frag[k] = g[..., start : start + width].reshape(*shape, *kshape)
 
-    px, py = _pixel_coords(H, W, y_offset)
+    if pixel_coords is None:
+        px, py = _pixel_coords(*shape, y_offset)
+    else:
+        px, py = pixel_coords
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
     cxf = (g[..., 0] * pxf + g[..., 1] * pyf) + g[..., 2]
@@ -238,9 +242,29 @@ def render_frame(
         ovf1 = jnp.asarray(False)
 
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
-    kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
+    # Strip-compacted shading (default on the kernel backends): the raster
+    # kernel emits z+idx only and the gather-path shade runs on covered
+    # strips.  Bit-identical to the varying-plane shade on the same raster
+    # (tests/test_pipelines_parity.py); vs the jnp backend only the usual
+    # raster tie-flip budget applies.  Occlusion keeps its per-pixel
+    # compaction (its 17 gathers/fragment amortize the costlier nonzero).
+    use_strips = (
+        backend != "jnp" and config.compact_shade and pipeline != "occlusion"
+    )
+    if use_strips:
+        kspec = ()
+    else:
+        kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
     z, idx, varys, ovf2 = _rasterize(setup, config, backend, spec=kspec)
     ovf2 = ovf2 | setup["coord_overflow"]
+
+    if use_strips:
+        if _pk_needed(textures, pipeline):
+            textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
+        frame = _shade_strips(
+            setup, idx, pipeline, uniforms, textures, config, shadow_z
+        )
+        return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
 
     if varys is None:
         frag = _shade_jnp_path(setup, idx, pipeline, config)
@@ -327,6 +351,105 @@ def _shade_occlusion_compact(frag, idx, uniforms, config):
     occ = occ_full[:HW].reshape(H, W)
     return ml.color_blend(
         jnp.asarray(shaders.WHITE), jnp.asarray(shaders.BLACK), occ, jnp
+    )
+
+
+def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
+    """Strip-compacted shading: the gather-bound stage runs only on covered
+    128-pixel strips.
+
+    Frame cost on TPU is dominated by per-pixel gathers (texture words,
+    shadow-map fetches) at a fixed per-row cost, and typical scenes cover
+    ~20% of pixels (~40% of 128-px strips).  Per-PIXEL compaction doesn't
+    pay for 1-2 gathers/pixel because building the index list costs a
+    640k-element nonzero (~5.8 ms measured on the dev chip); strip-level
+    compaction needs only a 5k-element strip mask + cumsum (~free) and
+    wide-row gathers/scatters that run at HBM bandwidth.
+
+    Covered strips are processed in static batches of config.strip_batch
+    strips; batch k runs under lax.cond only when the covered-strip count
+    exceeds k batches — correct at any coverage, pays only for actual
+    coverage.  Shading math is the reference gather path
+    (_gather_fragments + compute_varyings + spec.shade) evaluated on
+    (batch, 128) fragment blocks: elementwise-identical ops to the jnp
+    backend, so results stay bit-identical.
+
+    Returns the final (H, W, 3) u8 frame (uncovered pixels black).
+    """
+    spec = PIPELINES[pipeline]
+    vspec = VARYING_SPECS[pipeline]
+    H, W = idx.shape
+    HW = H * W
+    SL = 128  # strip length = TPU lane width
+    n_strips = -(-HW // SL)
+    B = config.strip_batch
+    n_batches = -(-n_strips // B)
+
+    flat = idx.reshape(-1)
+    if n_strips * SL != HW:
+        flat = jnp.concatenate(
+            [flat, jnp.full((n_strips * SL - HW,), -1, jnp.int32)]
+        )
+    strips = flat.reshape(n_strips, SL)
+    cov = jnp.any(strips >= 0, axis=1)
+    count = jnp.sum(cov, dtype=jnp.int32)
+
+    # Compacted covered-strip ids: comp[j] = id of the j-th covered strip.
+    # Uncovered strips scatter out of bounds (dropped); tail stays at the
+    # n_strips fill, which batches clamp and mask.
+    comp_len = n_batches * B
+    pos = jnp.cumsum(cov.astype(jnp.int32)) - 1
+    scatter_to = jnp.where(cov, pos, comp_len)
+    comp = (
+        jnp.full((comp_len,), n_strips, jnp.int32)
+        .at[scatter_to]
+        .set(jnp.arange(n_strips, dtype=jnp.int32), mode="drop")
+    )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, SL), 1)
+    keys = _GATHER_KEYS[pipeline]
+    out_words = jnp.zeros((n_strips, SL), jnp.int32)
+
+    def shade_batch(k, acc):
+        ids = jax.lax.dynamic_slice_in_dim(comp, k * B, B)  # (B,)
+        safe_ids = jnp.minimum(ids, n_strips - 1)
+        sidx = strips[safe_ids]  # (B, SL) winning-triangle ids
+        base = jnp.minimum(safe_ids[:, None] * SL + lane, HW - 1)
+        px = base % W
+        py = base // W
+        frag = _gather_fragments(
+            setup, sidx, keys, config, pixel_coords=(px, py)
+        )
+        varys = compute_varyings(frag, vspec, jnp)
+        varys["x"] = px
+        varys["y"] = py
+        if spec.two_pass:
+            varys["shadow_buffer"] = shadow_z
+        colors = spec.shade(varys, uniforms, textures, config, jnp)  # (B, SL, 3)
+        c32 = colors.astype(jnp.int32)
+        word = c32[..., 0] | (c32[..., 1] << 8) | (c32[..., 2] << 16)
+        word = jnp.where(sidx >= 0, word, 0)
+        # ids are unique (or the n_strips fill -> out of bounds, dropped):
+        # deterministic scatter.
+        return acc.at[ids].set(word, mode="drop")
+
+    out_words = shade_batch(0, out_words)  # >=1 batch unless scene is empty
+    for k in range(1, n_batches):
+        out_words = jax.lax.cond(
+            count > k * B,
+            functools.partial(shade_batch, k),
+            lambda a: a,
+            out_words,
+        )
+
+    w = out_words.reshape(-1)[:HW].reshape(H, W)
+    return jnp.stack(
+        [
+            (w & 0xFF).astype(jnp.uint8),
+            ((w >> 8) & 0xFF).astype(jnp.uint8),
+            ((w >> 16) & 0xFF).astype(jnp.uint8),
+        ],
+        axis=-1,
     )
 
 

@@ -1,0 +1,180 @@
+"""Per-stage device-time breakdown (SURVEY.md §5.1's tracing plan).
+
+The reference has no per-stage instrumentation (only the FPS print,
+src/app.rs:230-242); a TPU renderer needs one because the whole frame is a
+single fused XLA program — wall-clock alone can't attribute time.  This
+module compiles CUMULATIVE PREFIXES of render_frame (vertex | +binning |
++raster | full) and reports the deltas as stage costs, with the
+device->host frame fetch timed separately.
+
+Measurement protocol (dev-TPU quirks, CLAUDE.md): inputs are jittered per
+call (the runtime dedupes bit-identical executions), completion is a tiny
+host fetch of a checksum (block_until_ready is unreliable over the
+tunnel), and each prefix is timed over `iters` repeats after a warmup.
+
+Caveat recorded with the numbers: XLA fuses each prefix independently, so
+deltas are attribution estimates, not exact schedules — good to the ~10%
+level that perf decisions here need.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import mathlib as ml
+from ..ops.vertex import triangle_setup
+from ..utils.timing import StageTimer
+from .frame import PIPELINES, _rasterize, render_frame
+from .shaders import kernel_varying_spec, VARYING_SPECS
+
+
+def _checksum(*arrays):
+    s = jnp.float32(0.0)
+    for a in arrays:
+        s += jnp.sum(a.astype(jnp.float32))
+    return s
+
+
+def _prefix_fn(pipeline, config, backend, stage):
+    """A jittable function running render_frame up to `stage`
+    ("vertex" | "bin" | "raster" | "full"), returning a tiny checksum.
+    Mirrors render_frame's structure (frame.py:191-264)."""
+    spec = PIPELINES[pipeline]
+
+    def fn(geom, textures, light_direction, look_from, look_at, up):
+        if stage == "full":
+            out = render_frame(
+                geom, textures, light_direction, look_from, look_at, up,
+                pipeline=pipeline, config=config, backend=backend,
+            )
+            return _checksum(out["frame"])
+
+        setups = []
+        if spec.two_pass:
+            u1 = ml.shadow_pass_1_prepare(config, light_direction, look_at, up, jnp)
+            setups.append(
+                (triangle_setup(geom, u1, config, matrix_key="shadow_matrix",
+                                cull=False, needs=(), xp=jnp), ())
+            )
+            uniforms = ml.shadow_pass_2_prepare(
+                config, light_direction, look_from, look_at, up, jnp
+            )
+        else:
+            uniforms = ml.default_prepare(
+                config, light_direction, look_from, look_at, up, jnp
+            )
+        kspec = (
+            kernel_varying_spec(pipeline, textures)
+            if backend != "jnp"
+            else VARYING_SPECS[pipeline]
+        )
+        setups.append(
+            (triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp), kspec)
+        )
+
+        if stage == "vertex":
+            return _checksum(*[s["rx"] for s, _ in setups])
+
+        if stage == "bin":
+            if backend == "jnp":  # no binning stage on the dense path
+                return _checksum(*[s["rx"] for s, _ in setups])
+            from ..ops.binning import bin_triangles
+
+            outs = []
+            for s, sp in setups:
+                csr, starts, _ = bin_triangles(s, config, sp)
+                outs += [csr[:, 0], starts]
+            return _checksum(*outs)
+
+        # stage == "raster": run both passes' rasters, skip shading.
+        outs = []
+        for i, (s, sp) in enumerate(setups):
+            emit_idx = not (spec.two_pass and i == 0)
+            z, idx, varys, _ = _rasterize(s, config, backend, spec=sp, emit_idx=emit_idx)
+            outs.append(z)
+            if varys is not None:
+                outs.append(varys[0])
+        return _checksum(*outs)
+
+    return jax.jit(fn)
+
+
+STAGES = ("vertex", "bin", "raster", "full")
+STAGE_LABELS = {
+    "vertex": "vertex setup",
+    "bin": "+ binning",
+    "raster": "+ raster",
+    "full": "+ shade (full frame)",
+}
+
+
+def stage_breakdown(scene, iters: int = 6):
+    """Measure per-stage device ms for a Scene's pipeline/config/backend.
+
+    Returns (deltas, cumulative): dicts of stage -> ms.  deltas attribute
+    each stage's marginal cost; 'fetch' is the frame device->host transfer.
+    """
+    geom, textures = scene._geom, scene._textures
+    backend = scene._frame_fn.keywords["backend"]
+    pipeline = scene._frame_fn.keywords["pipeline"]
+    config = scene.config
+
+    look_at = jnp.zeros((3,), jnp.float32)
+    up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    rng = np.random.default_rng()
+    base = float(rng.uniform(0.3, 0.4))
+
+    def args(i):
+        # Jitter angles per call: the dev-TPU runtime dedupes identical
+        # executions, which would otherwise measure nothing.
+        ca = np.float32(base + 1e-4 * i)
+        la = np.float32(-0.6 + 1e-4 * i)
+        light = jnp.asarray([np.sin(la), np.float32(0), np.cos(la)])
+        look_from = jnp.asarray([np.sin(ca), np.float32(0), np.cos(ca)])
+        return geom, textures, light, look_from, look_at, up
+
+    timer = StageTimer()
+    cumulative = {}
+    call_idx = 0
+    for stage in STAGES:
+        fn = _prefix_fn(pipeline, config, backend, stage)
+        np.asarray(fn(*args(call_idx)))  # compile + warm
+        call_idx += 1
+        for _ in range(iters):
+            with timer.stage(stage):
+                np.asarray(fn(*args(call_idx)))  # fetch barrier
+            call_idx += 1
+        cumulative[stage] = timer.totals[stage] * 1e3 / iters
+
+    # Frame fetch (device->host blit), chunked transfer path.
+    scene.render()
+    scene.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(max(2, iters // 2)):
+        scene.get_frame_buffer()
+    fetch_ms = (time.perf_counter() - t0) * 1e3 / max(2, iters // 2)
+
+    deltas = {}
+    prev = 0.0
+    for stage in STAGES:
+        deltas[stage] = cumulative[stage] - prev
+        prev = cumulative[stage]
+    deltas["fetch"] = fetch_ms
+    return deltas, cumulative
+
+
+def print_stage_breakdown(scene, iters: int = 6, out=print):
+    deltas, cumulative = stage_breakdown(scene, iters)
+    out("per-stage device time (cumulative-prefix deltas):")
+    for stage in STAGES:
+        out(
+            f"  {STAGE_LABELS[stage]:22s} {deltas[stage]:8.3f} ms"
+            f"   (prefix total {cumulative[stage]:8.3f} ms)"
+        )
+    out(f"  {'frame fetch (blit)':22s} {deltas['fetch']:8.3f} ms")
+    return deltas
