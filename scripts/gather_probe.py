@@ -109,7 +109,18 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-gather", action="store_true")
+    ap.add_argument("--compaction", action="store_true")
     opts = ap.parse_args()
+    if getattr(opts, "compaction", False):
+        rng = np.random.default_rng(1)
+        mask = jnp.asarray(rng.random(640_000) < 0.2)
+        vals = jnp.asarray(rng.integers(0, 2, size=640_000).astype(np.int32))
+        print(f"cumsum 640k           {marginal_ms(cumsum_fn, (vals,)):7.3f} ms", flush=True)
+        print(f"nonzero 640k          {marginal_ms(nonzero_fn, (mask,)):7.3f} ms", flush=True)
+        print(f"handrolled nz 640k    {marginal_ms(handrolled_nonzero_fn, (mask,)):7.3f} ms", flush=True)
+        print(f"twolevel nz 640k      {marginal_ms(twolevel_nonzero_fn, (mask,)):7.3f} ms", flush=True)
+        print("PROBE-DONE", flush=True)
+        return
 
     rng = np.random.default_rng(0)
     results = []
@@ -169,6 +180,64 @@ def main():
         )
 
     print("PROBE-DONE", flush=True)
+
+
+
+
+# Appendix probes (run with --compaction): candidate replacements for the
+# 5.8 ms jnp.nonzero in the occlusion pixel compaction.
+
+
+def handrolled_nonzero_fn(mask, *, k, eps):
+    """cumsum + one scatter, vs jnp.nonzero's fused machinery."""
+    n = mask.shape[0]
+
+    def body(acc, i):
+        cov = mask != (i < -1)  # i-dependent no-op to defeat CSE
+        pos = jnp.cumsum(cov.astype(jnp.int32)) - 1
+        tgt = jnp.where(cov, pos, n)
+        cidx = (
+            jnp.full((n,), n, jnp.int32)
+            .at[tgt]
+            .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        )
+        return acc + cidx[0] + i, 0
+
+    acc, _ = jax.lax.scan(body, jnp.int32(eps), jnp.arange(k, dtype=jnp.int32))
+    return acc
+
+
+def twolevel_nonzero_fn(mask, *, k, eps):
+    """strip-sum + tiny cumsum + minor-axis cumsum + one scatter."""
+    n = mask.shape[0]
+    SL = 128
+    ns = n // SL
+
+    def body(acc, i):
+        cov = (mask != (i < -1)).reshape(ns, SL)
+        covi = cov.astype(jnp.int32)
+        per_strip = jnp.sum(covi, axis=1)
+        offs = jnp.cumsum(per_strip) - per_strip  # (ns,)
+        within = jnp.cumsum(covi, axis=1) - covi  # minor-axis cumsum
+        pos = offs[:, None] + within
+        tgt = jnp.where(cov, pos, n).reshape(-1)
+        cidx = (
+            jnp.full((n,), n, jnp.int32)
+            .at[tgt]
+            .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        )
+        return acc + cidx[0] + i, 0
+
+    acc, _ = jax.lax.scan(body, jnp.int32(eps), jnp.arange(k, dtype=jnp.int32))
+    return acc
+
+
+def cumsum_fn(vals, *, k, eps):
+    def body(acc, i):
+        return acc + jnp.cumsum(vals + i)[-1], 0
+
+    acc, _ = jax.lax.scan(body, jnp.int32(eps), jnp.arange(k, dtype=jnp.int32))
+    return acc
 
 
 if __name__ == "__main__":

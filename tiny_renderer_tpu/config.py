@@ -60,7 +60,7 @@ class RenderConfig:
     # the covered-strip count (see frame._shade_strips).  compact_shade
     # False restores the full-screen varying-plane shade.
     compact_shade: bool = True
-    strip_batch: int = 512
+    strip_batch: int = 256
 
     # Camera/light orbit speeds in rad/s (src/app.rs:12-13).
     camera_speed: float = 3.0

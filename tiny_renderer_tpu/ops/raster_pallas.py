@@ -106,7 +106,10 @@ def _raster_kernel(
         cy = a2 * pxf + b2 * pyf + c2
         return cx, cy
 
-    def depth_body(k, _):
+    n_rec = rec_ref.shape[0]
+
+    def tri_candidate(k):
+        """(inside_mask, zval, gidx) of triangle record k over this tile."""
         cx, cy = edge_functions(k)
         sgn = rec_ref[k, 6]
         absz = rec_ref[k, 7]
@@ -125,15 +128,37 @@ def _raster_kernel(
         v = cy * rcz
         w = jnp.float32(1.0) - (cx + cy) * rcz
         zval = (w * z1 + u * z2) + v * z3
+        return inside, zval, gidx
 
-        cur = z_ref[:]
-        better = inside & (zval > cur)
-        z_ref[:] = jnp.where(better, zval, cur)
+    # Four triangles per iteration: the ~12-cycle VMEM scalar record reads
+    # dominate the loop, and grouping lets them pipeline (measured: 2-wide
+    # cut the headline raster ~40%; 4-wide squeezes the remainder).  The
+    # merge below applies candidates strictly in ascending global-index
+    # order, so the tie rule (z <= stored -> reject; shader.rs:169-180) is
+    # preserved exactly.
+    GROUP = 4
+
+    def depth_group(i, _):
+        k0 = start + GROUP * i
+        cands = []
+        for j in range(GROUP):
+            k = jnp.minimum(k0 + j, n_rec - 1)
+            inside, zval, gidx = tri_candidate(k)
+            cands.append((inside & (k0 + j < end), zval, gidx))
+
+        z_cur = z_ref[:]
+        idx_cur = idx_ref[:] if idx_ref is not None else None
+        for inside, zval, gidx in cands:
+            win = inside & (zval > z_cur)
+            z_cur = jnp.where(win, zval, z_cur)
+            if idx_cur is not None:
+                idx_cur = jnp.where(win, jnp.int32(gidx), idx_cur)
+        z_ref[:] = z_cur
         if idx_ref is not None:
-            idx_ref[:] = jnp.where(better, jnp.int32(gidx), idx_ref[:])
+            idx_ref[:] = idx_cur
         return 0
 
-    jax.lax.fori_loop(start, end, depth_body, 0)
+    jax.lax.fori_loop(0, (end - start + GROUP - 1) // GROUP, depth_group, 0)
 
     if not planes:
         return

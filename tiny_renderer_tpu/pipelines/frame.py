@@ -248,11 +248,10 @@ def render_frame(
     # (tests/test_pipelines_parity.py); vs the jnp backend only the usual
     # raster tie-flip budget applies.  Occlusion keeps its per-pixel
     # compaction (its 17 gathers/fragment amortize the costlier nonzero).
-    use_strips = (
-        backend != "jnp" and config.compact_shade and pipeline != "occlusion"
-    )
-    if use_strips:
-        kspec = ()
+    compact = backend != "jnp" and config.compact_shade
+    use_strips = compact and pipeline != "occlusion"
+    if compact:
+        kspec = ()  # raster emits z+idx only; shading re-derives varyings
     else:
         kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
     z, idx, varys, ovf2 = _rasterize(setup, config, backend, spec=kspec)
@@ -266,6 +265,18 @@ def render_frame(
         )
         return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
 
+    if pipeline == "occlusion" and backend != "jnp":
+        zfrag_plane = None
+        if not compact:  # varying-plane path: zfrag interpolated in-kernel
+            zfrag_plane = _fragments_from_planes(kspec, varys, H, W)["zfrag"]
+        colors = _shade_occlusion_compact(
+            idx, uniforms, config, shadow_z,
+            zfrag_plane=zfrag_plane, setup=setup,
+        )
+        covered = (idx >= 0)[..., None]
+        frame = jnp.where(covered, colors, jnp.uint8(0))
+        return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
+
     if varys is None:
         frag = _shade_jnp_path(setup, idx, pipeline, config)
     else:
@@ -275,10 +286,7 @@ def render_frame(
         frag["shadow_buffer"] = shadow_z
     if _pk_needed(textures, pipeline):
         textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
-    if pipeline == "occlusion" and backend != "jnp":
-        colors = _shade_occlusion_compact(frag, idx, uniforms, config)
-    else:
-        colors = spec.shade(frag, uniforms, textures, config, jnp)
+    colors = spec.shade(frag, uniforms, textures, config, jnp)
 
     covered = (idx >= 0)[..., None]
     frame = jnp.where(covered, colors, jnp.uint8(0))
@@ -304,34 +312,79 @@ def _add_const_gather(frag, kspec, vspec, setup, idx):
         pos += comps
 
 
-def _shade_occlusion_compact(frag, idx, uniforms, config):
+def _compact_indices(covered):
+    """Indices of True entries, front-compacted; fill = n for the tail.
+
+    Two-level equivalent of jnp.nonzero(covered, size=n, fill_value=n):
+    per-128-strip counts + a tiny strip cumsum + a minor-axis within-strip
+    cumsum + ONE scatter.  Padding (n not a multiple of 128) is handled by
+    the caller passing a padded mask.
+    """
+    n = covered.shape[0]
+    SL = 128
+    if n % SL:
+        covered = jnp.concatenate(
+            [covered, jnp.zeros(((-n) % SL,), covered.dtype)]
+        )
+    cov = covered.reshape(-1, SL)
+    covi = cov.astype(jnp.int32)
+    per_strip = jnp.sum(covi, axis=1)
+    offs = jnp.cumsum(per_strip) - per_strip
+    within = jnp.cumsum(covi, axis=1) - covi
+    pos = (offs[:, None] + within).reshape(-1)[: n]
+    tgt = jnp.where(covered.reshape(-1)[: n], pos, n)
+    return (
+        jnp.full((n,), n, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    )
+
+
+def _shade_occlusion_compact(idx, uniforms, config, shadow_buffer, *,
+                             zfrag_plane=None, setup=None):
     """Coverage-compacted occlusion shading.
 
     The occlusion core does 17 shadow-map gathers per fragment — the single
     most expensive stage — and only covered pixels matter.  Covered pixels
-    are compacted into quarter-screen batches; batch k runs under a
-    lax.cond only when coverage exceeds k/4 of the screen (always correct,
-    no caps): typical reference scenes (~20-40% coverage) pay the 17
-    gathers on one or two quarter batches instead of every pixel.
+    are compacted into tenth-screen batches; batch k runs under a lax.cond
+    only when coverage exceeds k batches (always correct, no caps): typical
+    reference scenes (~20-30% coverage) pay the 17 gathers on 2-3 batches
+    instead of every pixel, with at most one batch of granularity waste.
+
+    The covered-pixel index list comes from a two-level compaction (strip
+    sums + minor-axis cumsum + one scatter, _compact_indices) — cheaper
+    than jnp.nonzero on the dev chip.
+
+    zfrag comes either from the kernel's interpolated plane (zfrag_plane,
+    compact_shade=False) or is recomputed per compacted pixel from the
+    per-triangle setup table (setup; one small-table gather — lets the
+    raster skip its varying pass entirely).
     """
     H, W = idx.shape
     HW = H * W
-    n_batches = 4
+    n_batches = 10
     cap = -(-HW // n_batches)  # n_batches * cap >= HW: always complete
 
     covered = (idx >= 0).reshape(-1)
     count = jnp.sum(covered, dtype=jnp.int32)
-    (cidx,) = jnp.nonzero(covered, size=HW, fill_value=HW)
-    zfrag_flat = frag["zfrag"].reshape(-1)
-    shadow_buffer = frag["shadow_buffer"]
+    cidx = _compact_indices(covered)
+    idx_flat = idx.reshape(-1)
+    zfrag_flat = zfrag_plane.reshape(-1) if zfrag_plane is not None else None
 
     def occ_batch(batch):
         safe = jnp.minimum(batch, HW - 1)
-        xf = (safe % W).astype(jnp.float32)
-        yf = (safe // W).astype(jnp.float32)
-        zf = zfrag_flat[safe]
+        px = safe % W
+        py = safe // W
+        if zfrag_flat is not None:
+            zf = zfrag_flat[safe]
+        else:
+            frag = _gather_fragments(
+                setup, idx_flat[safe], ("zv",), config, pixel_coords=(px, py)
+            )
+            zf = compute_varyings(frag, VARYING_SPECS["occlusion"], jnp)["zfrag"]
         return shaders.occlusion_coefficient(
-            xf, yf, zf, shadow_buffer, uniforms, config, jnp
+            px.astype(jnp.float32), py.astype(jnp.float32), zf,
+            shadow_buffer, uniforms, config, jnp,
         )
 
     occ_full = jnp.ones((HW + 1,), jnp.float32)

@@ -7,10 +7,12 @@ module compiles CUMULATIVE PREFIXES of render_frame (vertex | +binning |
 +raster | full) and reports the deltas as stage costs, with the
 device->host frame fetch timed separately.
 
-Measurement protocol (dev-TPU quirks, CLAUDE.md): inputs are jittered per
-call (the runtime dedupes bit-identical executions), completion is a tiny
-host fetch of a checksum (block_until_ready is unreliable over the
-tunnel), and each prefix is timed over `iters` repeats after a warmup.
+Measurement protocol (dev-TPU quirks, CLAUDE.md): each prefix runs K
+times inside ONE lax.scan dispatch over jittered camera/light angles (the
+runtime dedupes bit-identical executions; per-dispatch tunnel latency is
+~31 ms and would otherwise swamp every stage), the reported number is the
+marginal between two scan lengths, and completion is a tiny host fetch of
+a checksum (block_until_ready is unreliable over the tunnel).
 
 Caveat recorded with the numbers: XLA fuses each prefix independently, so
 deltas are attribution estimates, not exact schedules — good to the ~10%
@@ -113,43 +115,70 @@ STAGE_LABELS = {
 }
 
 
-def stage_breakdown(scene, iters: int = 6):
+def _scan_prefix_fn(pipeline, config, backend, stage):
+    """jit((geom, textures, cams, ligs) -> checksum) running the prefix
+    once per (camera, light) angle pair inside one dispatch."""
+    prefix = _prefix_fn(pipeline, config, backend, stage)
+    look_at = jnp.zeros((3,), jnp.float32)
+    up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+
+    @jax.jit
+    def run(geom, textures, cams, ligs):
+        def body(acc, ab):
+            ca, la = ab
+            light = jnp.stack([jnp.sin(la), jnp.float32(0.0), jnp.cos(la)])
+            look_from = jnp.stack([jnp.sin(ca), jnp.float32(0.0), jnp.cos(ca)])
+            return acc + prefix(geom, textures, light, look_from, look_at, up), 0
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), (cams, ligs))
+        return acc
+
+    return run
+
+
+def stage_breakdown(scene, iters: int = 12):
     """Measure per-stage device ms for a Scene's pipeline/config/backend.
 
     Returns (deltas, cumulative): dicts of stage -> ms.  deltas attribute
     each stage's marginal cost; 'fetch' is the frame device->host transfer.
+    `iters` is the long scan length (short is iters//3; marginal between
+    the two cancels dispatch latency).
     """
     geom, textures = scene._geom, scene._textures
     backend = scene._frame_fn.keywords["backend"]
     pipeline = scene._frame_fn.keywords["pipeline"]
     config = scene.config
 
-    look_at = jnp.zeros((3,), jnp.float32)
-    up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    k_small = max(2, iters // 3)
+    iters = max(iters, k_small + 2)
     rng = np.random.default_rng()
     base = float(rng.uniform(0.3, 0.4))
 
-    def args(i):
-        # Jitter angles per call: the dev-TPU runtime dedupes identical
-        # executions, which would otherwise measure nothing.
-        ca = np.float32(base + 1e-4 * i)
-        la = np.float32(-0.6 + 1e-4 * i)
-        light = jnp.asarray([np.sin(la), np.float32(0), np.cos(la)])
-        look_from = jnp.asarray([np.sin(ca), np.float32(0), np.cos(ca)])
-        return geom, textures, light, look_from, look_at, up
+    def angles(k, eps):
+        ca = (base + eps + 1e-4 * np.arange(k)).astype(np.float32)
+        la = (-0.6 + eps + 1e-4 * np.arange(k)).astype(np.float32)
+        return jnp.asarray(ca), jnp.asarray(la)
 
     timer = StageTimer()
     cumulative = {}
-    call_idx = 0
-    for stage in STAGES:
-        fn = _prefix_fn(pipeline, config, backend, stage)
-        np.asarray(fn(*args(call_idx)))  # compile + warm
-        call_idx += 1
-        for _ in range(iters):
-            with timer.stage(stage):
-                np.asarray(fn(*args(call_idx)))  # fetch barrier
-            call_idx += 1
-        cumulative[stage] = timer.totals[stage] * 1e3 / iters
+    for s_i, stage in enumerate(STAGES):
+        fn = _scan_prefix_fn(pipeline, config, backend, stage)
+
+        def run(k, eps):
+            cams, ligs = angles(k, eps)
+            np.asarray(fn(geom, textures, cams, ligs))  # fetch barrier
+
+        run(k_small, 0.0)  # compile + warm both lengths
+        run(iters, 1e-3)
+        with timer.stage(stage + ":small"):
+            run(k_small, 2e-3 + s_i)
+        with timer.stage(stage):
+            run(iters, 3e-3 + s_i)
+        cumulative[stage] = (
+            (timer.totals[stage] - timer.totals[stage + ":small"])
+            * 1e3
+            / (iters - k_small)
+        )
 
     # Frame fetch (device->host blit), chunked transfer path.
     scene.render()

@@ -488,13 +488,23 @@ def occlusion_coefficient(xf, yf, zfrag, shadow_buffer, uniforms, config, xp):
 
     occ = xp.ones_like(fval)
     S = uniforms["shadow_matrix"]
+    # All n sample coords are computed elementwise, then fetched with ONE
+    # gather of (n, ...) indices — identical per-sample arithmetic to n
+    # separate fetches (shader.rs:922-933), fewer gather dispatches.
+    sxs, sys = [], []
     for i in range(n):
         ang = np.float32(angle_coef * np.float32(i))
         g = xp.asarray(np.array([np.sin(ang), 0.0, np.cos(ang)], dtype=np.float32))
         step_dir = mat3_vec(rot, g, xp)
         sample = world + step_dir * step_size
         ssc = ml.mat4_transform_point(S, sample, xp)
-        sval = _shadow_fetch(shadow_buffer, ssc[..., 0], ssc[..., 1], config.width, xp)
+        sxs.append(ssc[..., 0])
+        sys.append(ssc[..., 1])
+    svals = _shadow_fetch(
+        shadow_buffer, xp.stack(sxs), xp.stack(sys), config.width, xp
+    )  # (n, ...)
+    for i in range(n):
+        sval = svals[i]
         occluded = (sval - threshold) > fval
         strength = xp.minimum((sval - fval) / depth_scale, xp.float32(1.0))
         occ = xp.where(occluded, occ - inv_n * strength, occ)
