@@ -57,10 +57,13 @@ class RenderConfig:
     tri_block: int = 64
     # Strip-compacted shading (kernel backends): per-pixel gathers run only
     # on covered 128-px strips, in batches of strip_batch strips gated by
-    # the covered-strip count (see frame._shade_strips).  compact_shade
-    # False restores the full-screen varying-plane shade.
+    # the covered-strip count (see frame._shade_strips).  Strips beat exact
+    # per-pixel compaction on hardware: (batch, 128)-shaped gathers/
+    # scatters vectorize on the 128-lane VPU where flat 1-D forms do not
+    # (measured 7.9 vs 9.9 ms headline).  compact_shade False restores the
+    # full-screen varying-plane shade.
     compact_shade: bool = True
-    strip_batch: int = 256
+    strip_batch: int = 64
 
     # Camera/light orbit speeds in rad/s (src/app.rs:12-13).
     camera_speed: float = 3.0

@@ -315,24 +315,15 @@ def _add_const_gather(frag, kspec, vspec, setup, idx):
 def _compact_indices(covered):
     """Indices of True entries, front-compacted; fill = n for the tail.
 
-    Two-level equivalent of jnp.nonzero(covered, size=n, fill_value=n):
-    per-128-strip counts + a tiny strip cumsum + a minor-axis within-strip
-    cumsum + ONE scatter.  Padding (n not a multiple of 128) is handled by
-    the caller passing a padded mask.
+    Equivalent of jnp.nonzero(covered, size=n, fill_value=n) but ~13x
+    cheaper on TPU (0.44 ms vs 5.9 ms at 640k on the dev chip,
+    scripts/gather_probe.py --compaction): a flat cumsum is ~free and the
+    position scatter's indices are monotone, which the scatter engine
+    handles at near-sequential bandwidth.
     """
     n = covered.shape[0]
-    SL = 128
-    if n % SL:
-        covered = jnp.concatenate(
-            [covered, jnp.zeros(((-n) % SL,), covered.dtype)]
-        )
-    cov = covered.reshape(-1, SL)
-    covi = cov.astype(jnp.int32)
-    per_strip = jnp.sum(covi, axis=1)
-    offs = jnp.cumsum(per_strip) - per_strip
-    within = jnp.cumsum(covi, axis=1) - covi
-    pos = (offs[:, None] + within).reshape(-1)[: n]
-    tgt = jnp.where(covered.reshape(-1)[: n], pos, n)
+    pos = jnp.cumsum(covered.astype(jnp.int32)) - 1
+    tgt = jnp.where(covered, pos, n)
     return (
         jnp.full((n,), n, jnp.int32)
         .at[tgt]
@@ -362,12 +353,23 @@ def _shade_occlusion_compact(idx, uniforms, config, shadow_buffer, *,
     """
     H, W = idx.shape
     HW = H * W
-    n_batches = 10
-    cap = -(-HW // n_batches)  # n_batches * cap >= HW: always complete
+    # Small batches in a lax.while_loop: ONE compiled 17-gather body (a
+    # cond cascade would duplicate it per level) and fine granularity —
+    # each batch costs its gather rows, so the quantization waste is at
+    # most cap/2 fragments (~1.4 ms at 16k rows x 17 x 7.3 ns).  cidx is
+    # padded so a full-coverage final batch slices in range.
+    cap = 16_384
+    # Keep batches (cap, 128)-shaped: flat 1-D gathers/scatters lose the
+    # 128-lane VPU (measured 25-100% slower end-to-end).
+    LANES = 128
+    rows = cap // LANES
 
     covered = (idx >= 0).reshape(-1)
     count = jnp.sum(covered, dtype=jnp.int32)
     cidx = _compact_indices(covered)
+    pad = (-HW) % cap
+    if pad:
+        cidx = jnp.concatenate([cidx, jnp.full((pad,), HW, jnp.int32)])
     idx_flat = idx.reshape(-1)
     zfrag_flat = zfrag_plane.reshape(-1) if zfrag_plane is not None else None
 
@@ -387,20 +389,19 @@ def _shade_occlusion_compact(idx, uniforms, config, shadow_buffer, *,
             shadow_buffer, uniforms, config, jnp,
         )
 
-    occ_full = jnp.ones((HW + 1,), jnp.float32)
+    occ_init = jnp.ones((HW + 1,), jnp.float32)
 
-    def run_batch(k, acc):
-        b = jax.lax.dynamic_slice_in_dim(cidx, k * cap, cap)
-        return acc.at[b].set(occ_batch(b), mode="drop")
+    def cond(state):
+        k, _ = state
+        return k * cap < count
 
-    occ_full = run_batch(0, occ_full)  # at least one batch (or the scene is empty)
-    for k in range(1, n_batches):
-        occ_full = jax.lax.cond(
-            count > k * cap,
-            functools.partial(run_batch, k),
-            lambda a: a,
-            occ_full,
-        )
+    def body(state):
+        k, acc = state
+        b = jax.lax.dynamic_slice_in_dim(cidx, k * cap, cap).reshape(rows, LANES)
+        acc = acc.at[b].set(occ_batch(b), mode="drop")
+        return k + 1, acc
+
+    _, occ_full = jax.lax.while_loop(cond, body, (jnp.int32(0), occ_init))
     occ = occ_full[:HW].reshape(H, W)
     return ml.color_blend(
         jnp.asarray(shaders.WHITE), jnp.asarray(shaders.BLACK), occ, jnp
@@ -419,10 +420,10 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
     compaction needs only a 5k-element strip mask + cumsum (~free) and
     wide-row gathers/scatters that run at HBM bandwidth.
 
-    Covered strips are processed in static batches of config.strip_batch
-    strips; batch k runs under lax.cond only when the covered-strip count
-    exceeds k batches — correct at any coverage, pays only for actual
-    coverage.  Shading math is the reference gather path
+    Covered strips are processed in batches of config.strip_batch strips
+    inside a lax.while_loop — ONE compiled shade body, and only the
+    batches actual coverage needs ever run (quantization waste is at most
+    one batch).  Shading math is the reference gather path
     (_gather_fragments + compute_varyings + spec.shade) evaluated on
     (batch, 128) fragment blocks: elementwise-identical ops to the jnp
     backend, so results stay bit-identical.
@@ -436,7 +437,6 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
     SL = 128  # strip length = TPU lane width
     n_strips = -(-HW // SL)
     B = config.strip_batch
-    n_batches = -(-n_strips // B)
 
     flat = idx.reshape(-1)
     if n_strips * SL != HW:
@@ -448,9 +448,9 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
     count = jnp.sum(cov, dtype=jnp.int32)
 
     # Compacted covered-strip ids: comp[j] = id of the j-th covered strip.
-    # Uncovered strips scatter out of bounds (dropped); tail stays at the
-    # n_strips fill, which batches clamp and mask.
-    comp_len = n_batches * B
+    # Uncovered strips scatter out of bounds (dropped); the padded tail
+    # stays at the n_strips fill, which batches clamp and mask.
+    comp_len = (-(-n_strips // B)) * B
     pos = jnp.cumsum(cov.astype(jnp.int32)) - 1
     scatter_to = jnp.where(cov, pos, comp_len)
     comp = (
@@ -461,7 +461,6 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, SL), 1)
     keys = _GATHER_KEYS[pipeline]
-    out_words = jnp.zeros((n_strips, SL), jnp.int32)
 
     def shade_batch(k, acc):
         ids = jax.lax.dynamic_slice_in_dim(comp, k * B, B)  # (B,)
@@ -486,14 +485,17 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
         # deterministic scatter.
         return acc.at[ids].set(word, mode="drop")
 
-    out_words = shade_batch(0, out_words)  # >=1 batch unless scene is empty
-    for k in range(1, n_batches):
-        out_words = jax.lax.cond(
-            count > k * B,
-            functools.partial(shade_batch, k),
-            lambda a: a,
-            out_words,
-        )
+    def cond(state):
+        k, _ = state
+        return k * B < count
+
+    def body(state):
+        k, acc = state
+        return k + 1, shade_batch(k, acc)
+
+    _, out_words = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((n_strips, SL), jnp.int32))
+    )
 
     w = out_words.reshape(-1)[:HW].reshape(H, W)
     return jnp.stack(
