@@ -105,3 +105,21 @@ def test_stage_breakdown_pallas_interpret(head_model):
     scene = Scene(head_model, "phong", cfg, backend="pallas_interpret")
     deltas, cumulative = stage_breakdown(scene, iters=1)
     assert set(cumulative) == {"vertex", "bin", "raster", "full"}
+
+
+def test_cli_projection_knobs(tmp_path):
+    """--depth/--projection-distance reach RenderConfig; a longer projection
+    distance flattens perspective, changing the render."""
+    from tiny_renderer_tpu.app import main
+
+    out1 = tmp_path / "near.png"
+    out2 = tmp_path / "far.png"
+    base = ["-p", "/root/reference/assets/african_head", "-s", "default",
+            "--size", "64", "64", "--frames", "1", "--backend", "jnp",
+            "--no-fps"]
+    assert main(base + ["--save", str(out1)]) == 0
+    assert main(base + ["--save", str(out2),
+                        "--projection-distance", "50", "--depth", "127"]) == 0
+    a, b = out1.read_bytes(), out2.read_bytes()
+    assert a and b and a != b
+    assert main(base + ["--projection-distance", "0"]) == 2

@@ -75,6 +75,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "pallas", "jnp", "pallas_interpret"],
                     help="raster backend (auto: pallas on TPU, jnp elsewhere)")
+    ap.add_argument("--depth", type=float, default=255.0,
+                    help="z-buffer depth range (reference: 255, shader.rs:214)")
+    ap.add_argument("--projection-distance", type=float, default=5.0,
+                    help="perspective projection distance c (w' = 1 - z/c; "
+                         "reference: 5, shader.rs:204)")
     ap.add_argument("--interactive", action="store_true",
                     help="open an interactive viewer (requires a display)")
     ap.add_argument("--no-fps", action="store_true", help="disable the FPS printout")
@@ -288,7 +293,15 @@ def main(argv=None) -> int:
 
     model = load_model(args.asset_path)
     print(f"cooking up a scene with '{args.pipeline}' shader pipeline")
-    config = RenderConfig(width=width, height=height)
+    if args.projection_distance == 0.0:
+        print("error: --projection-distance must be nonzero", file=sys.stderr)
+        return 2
+    config = RenderConfig(
+        width=width,
+        height=height,
+        depth=args.depth,
+        projection_coef=-1.0 / args.projection_distance,
+    )
     scene = Scene(model, args.pipeline, config, backend=args.backend)
 
     with profile_trace(args.profile):
