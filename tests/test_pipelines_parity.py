@@ -133,7 +133,7 @@ def test_compact_shade_matches_planes(head_scene_data, camera, pipeline):
     # Tiny compaction batches force the full lax.cond cascade; same graph
     # as the default compact config except batch count -> same budget.
     cfg_small = RenderConfig(
-        width=96, height=96, tile_h=8, tri_block=32, strip_batch=7
+        width=96, height=96, tile_h=8, tri_block=32, strip_batch=8
     )
     small = make_frame_fn(pipeline, cfg_small, backend="pallas_interpret")(*args)
     assert mismatch(small, planes) <= 0.003

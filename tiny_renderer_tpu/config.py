@@ -56,14 +56,24 @@ class RenderConfig:
     # materializes (tri_block, H, W) intermediates — keep modest.
     tri_block: int = 64
     # Strip-compacted shading (kernel backends): per-pixel gathers run only
-    # on covered 128-px strips, in batches of strip_batch strips gated by
+    # on covered strip_len-px strips, in batches of strip_batch strips gated by
     # the covered-strip count (see frame._shade_strips).  Strips beat exact
     # per-pixel compaction on hardware: (batch, 128)-shaped gathers/
     # scatters vectorize on the 128-lane VPU where flat 1-D forms do not
     # (measured 7.9 vs 9.9 ms headline).  compact_shade False restores the
     # full-screen varying-plane shade.
     compact_shade: bool = True
-    strip_batch: int = 64
+    strip_batch: int = 512
+    # Strip length in pixels.  Shorter strips track coverage tighter (fewer
+    # wasted gather rows: diablo shadow covers 18% of pixels but 22% of
+    # 16-px strips vs 39% of 128-px strips); shade math is reshaped to
+    # 128-lane rows so any SL keeps the VPU full.  strip_batch * strip_len
+    # must be a multiple of 128.  Measured on the dev chip (shadow
+    # headline): SL=16 5.56 ms, SL=32 5.62, SL=128 7.57.  Exact per-PIXEL
+    # compaction was measured SLOWER than strips even with (rows, 128)-
+    # shaped batches (shadow 8.9, phong 7.4 ms): the 640k compaction +
+    # per-pixel idx gather + word scatter outweigh the row savings.
+    strip_len: int = 16
 
     # Camera/light orbit speeds in rad/s (src/app.rs:12-13).
     camera_speed: float = 3.0
@@ -84,6 +94,11 @@ class RenderConfig:
             raise ValueError("occlusion_samples must be >= 1")
         if self.strip_batch < 1:
             raise ValueError("strip_batch must be >= 1")
+        if self.strip_len < 1 or (self.strip_batch * self.strip_len) % 128 != 0:
+            raise ValueError(
+                "strip_len must be >= 1 with strip_batch * strip_len a "
+                f"multiple of 128, got {self.strip_batch} x {self.strip_len}"
+            )
 
     @property
     def padded_width(self) -> int:

@@ -249,7 +249,7 @@ def render_frame(
     # raster tie-flip budget applies.  Occlusion keeps its per-pixel
     # compaction (its 17 gathers/fragment amortize the costlier nonzero).
     compact = backend != "jnp" and config.compact_shade
-    use_strips = compact and pipeline != "occlusion"
+    use_compact = compact and pipeline != "occlusion"
     if compact:
         kspec = ()  # raster emits z+idx only; shading re-derives varyings
     else:
@@ -257,7 +257,7 @@ def render_frame(
     z, idx, varys, ovf2 = _rasterize(setup, config, backend, spec=kspec)
     ovf2 = ovf2 | setup["coord_overflow"]
 
-    if use_strips:
+    if use_compact:
         if _pk_needed(textures, pipeline):
             textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
         frame = _shade_strips(
@@ -410,22 +410,23 @@ def _shade_occlusion_compact(idx, uniforms, config, shadow_buffer, *,
 
 def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
     """Strip-compacted shading: the gather-bound stage runs only on covered
-    128-pixel strips.
+    config.strip_len-pixel strips.
 
     Frame cost on TPU is dominated by per-pixel gathers (texture words,
     shadow-map fetches) at a fixed per-row cost, and typical scenes cover
-    ~20% of pixels (~40% of 128-px strips).  Per-PIXEL compaction doesn't
-    pay for 1-2 gathers/pixel because building the index list costs a
-    640k-element nonzero (~5.8 ms measured on the dev chip); strip-level
-    compaction needs only a 5k-element strip mask + cumsum (~free) and
-    wide-row gathers/scatters that run at HBM bandwidth.
+    ~20% of pixels (~22% of 16-px strips).  Per-PIXEL compaction doesn't
+    pay for 1-2 gathers/pixel even with the cheap cumsum compaction and
+    lane-shaped batches (measured 8.9 vs 5.6 ms headline): the per-pixel
+    idx gather + word scatter outweigh the row savings.  Strip-level
+    compaction needs only a strip mask + cumsum (~free) and wide-row
+    gathers/scatters that run at HBM bandwidth.
 
     Covered strips are processed in batches of config.strip_batch strips
     inside a lax.while_loop — ONE compiled shade body, and only the
     batches actual coverage needs ever run (quantization waste is at most
     one batch).  Shading math is the reference gather path
     (_gather_fragments + compute_varyings + spec.shade) evaluated on
-    (batch, 128) fragment blocks: elementwise-identical ops to the jnp
+    (rows, 128) fragment blocks: elementwise-identical ops to the jnp
     backend, so results stay bit-identical.
 
     Returns the final (H, W, 3) u8 frame (uncovered pixels black).
@@ -434,9 +435,15 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
     vspec = VARYING_SPECS[pipeline]
     H, W = idx.shape
     HW = H * W
-    SL = 128  # strip length = TPU lane width
+    # Strip length: shorter strips track coverage tighter (diablo shadow:
+    # 18% pixel coverage => 25% of 32-px strips vs 39% of 128-px strips
+    # covered — ~36% fewer gather rows), while strip ids are still fetched
+    # as wide rows.  Shade math is reshaped to (B*SL/128, 128) so the
+    # 128-lane VPU stays full regardless of SL.
+    SL = config.strip_len
     n_strips = -(-HW // SL)
     B = config.strip_batch
+    R = (B * SL) // 128  # 128-lane rows per batch (validated in config)
 
     flat = idx.reshape(-1)
     if n_strips * SL != HW:
@@ -465,8 +472,10 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
     def shade_batch(k, acc):
         ids = jax.lax.dynamic_slice_in_dim(comp, k * B, B)  # (B,)
         safe_ids = jnp.minimum(ids, n_strips - 1)
-        sidx = strips[safe_ids]  # (B, SL) winning-triangle ids
-        base = jnp.minimum(safe_ids[:, None] * SL + lane, HW - 1)
+        sidx = strips[safe_ids].reshape(R, 128)  # winning-triangle ids
+        base = jnp.minimum(
+            (safe_ids[:, None] * SL + lane).reshape(R, 128), HW - 1
+        )
         px = base % W
         py = base // W
         frag = _gather_fragments(
@@ -477,10 +486,10 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
         varys["y"] = py
         if spec.two_pass:
             varys["shadow_buffer"] = shadow_z
-        colors = spec.shade(varys, uniforms, textures, config, jnp)  # (B, SL, 3)
+        colors = spec.shade(varys, uniforms, textures, config, jnp)  # (R, 128, 3)
         c32 = colors.astype(jnp.int32)
         word = c32[..., 0] | (c32[..., 1] << 8) | (c32[..., 2] << 16)
-        word = jnp.where(sidx >= 0, word, 0)
+        word = jnp.where(sidx >= 0, word, 0).reshape(B, SL)
         # ids are unique (or the n_strips fill -> out of bounds, dropped):
         # deterministic scatter.
         return acc.at[ids].set(word, mode="drop")
