@@ -80,7 +80,7 @@ def nonzero_fn(mask, *, k, eps):
     return acc
 
 
-def slice_gather_fn(img, ys, xs, width, *, k, eps):
+def slice_gather_fn(img, ys, xs, *, width, k, eps):
     """Per-row slice gather: fetch a (1, width) window per index pair."""
     H, W = img.shape
 
@@ -172,7 +172,9 @@ def main():
     for n_rows in (160_000, 640_000):
         ys = jnp.asarray(rng.integers(0, 799, size=n_rows).astype(np.int32))
         xs = jnp.asarray(rng.integers(0, 780, size=n_rows).astype(np.int32))
-        ms = marginal_ms(slice_gather_fn, (img, ys, xs, 17))
+        # width must stay a Python int under jit (it shapes the slice).
+        fn17 = functools.partial(slice_gather_fn, width=17)
+        ms = marginal_ms(fn17, (img, ys, xs))
         print(
             f"slice-gather rows={n_rows:7d} (1,17) {ms:7.3f} ms "
             f"({ms * 1e6 / n_rows:6.1f} ns/row)",

@@ -246,10 +246,11 @@ def render_frame(
     # kernel emits z+idx only and the gather-path shade runs on covered
     # strips.  Bit-identical to the varying-plane shade on the same raster
     # (tests/test_pipelines_parity.py); vs the jnp backend only the usual
-    # raster tie-flip budget applies.  Occlusion keeps its per-pixel
-    # compaction (its 17 gathers/fragment amortize the costlier nonzero).
+    # raster tie-flip budget applies.  Occlusion too: at strip_len=16 the
+    # strip machinery tracks coverage within ~20% of exact per-pixel
+    # compaction with far less scaffolding (29.0 -> 25.0 ms measured; the
+    # bespoke per-pixel occlusion path was removed).
     compact = backend != "jnp" and config.compact_shade
-    use_compact = compact and pipeline != "occlusion"
     if compact:
         kspec = ()  # raster emits z+idx only; shading re-derives varyings
     else:
@@ -257,24 +258,12 @@ def render_frame(
     z, idx, varys, ovf2 = _rasterize(setup, config, backend, spec=kspec)
     ovf2 = ovf2 | setup["coord_overflow"]
 
-    if use_compact:
+    if compact:
         if _pk_needed(textures, pipeline):
             textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
         frame = _shade_strips(
             setup, idx, pipeline, uniforms, textures, config, shadow_z
         )
-        return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
-
-    if pipeline == "occlusion" and backend != "jnp":
-        zfrag_plane = None
-        if not compact:  # varying-plane path: zfrag interpolated in-kernel
-            zfrag_plane = _fragments_from_planes(kspec, varys, H, W)["zfrag"]
-        colors = _shade_occlusion_compact(
-            idx, uniforms, config, shadow_z,
-            zfrag_plane=zfrag_plane, setup=setup,
-        )
-        covered = (idx >= 0)[..., None]
-        frame = jnp.where(covered, colors, jnp.uint8(0))
         return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
 
     if varys is None:
@@ -328,83 +317,6 @@ def _compact_indices(covered):
         jnp.full((n,), n, jnp.int32)
         .at[tgt]
         .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    )
-
-
-def _shade_occlusion_compact(idx, uniforms, config, shadow_buffer, *,
-                             zfrag_plane=None, setup=None):
-    """Coverage-compacted occlusion shading.
-
-    The occlusion core does 17 shadow-map gathers per fragment — the single
-    most expensive stage — and only covered pixels matter.  Covered pixels
-    are compacted into tenth-screen batches; batch k runs under a lax.cond
-    only when coverage exceeds k batches (always correct, no caps): typical
-    reference scenes (~20-30% coverage) pay the 17 gathers on 2-3 batches
-    instead of every pixel, with at most one batch of granularity waste.
-
-    The covered-pixel index list comes from a two-level compaction (strip
-    sums + minor-axis cumsum + one scatter, _compact_indices) — cheaper
-    than jnp.nonzero on the dev chip.
-
-    zfrag comes either from the kernel's interpolated plane (zfrag_plane,
-    compact_shade=False) or is recomputed per compacted pixel from the
-    per-triangle setup table (setup; one small-table gather — lets the
-    raster skip its varying pass entirely).
-    """
-    H, W = idx.shape
-    HW = H * W
-    # Small batches in a lax.while_loop: ONE compiled 17-gather body (a
-    # cond cascade would duplicate it per level) and fine granularity —
-    # each batch costs its gather rows, so the quantization waste is at
-    # most cap/2 fragments (~1.4 ms at 16k rows x 17 x 7.3 ns).  cidx is
-    # padded so a full-coverage final batch slices in range.
-    cap = 16_384
-    # Keep batches (cap, 128)-shaped: flat 1-D gathers/scatters lose the
-    # 128-lane VPU (measured 25-100% slower end-to-end).
-    LANES = 128
-    rows = cap // LANES
-
-    covered = (idx >= 0).reshape(-1)
-    count = jnp.sum(covered, dtype=jnp.int32)
-    cidx = _compact_indices(covered)
-    pad = (-HW) % cap
-    if pad:
-        cidx = jnp.concatenate([cidx, jnp.full((pad,), HW, jnp.int32)])
-    idx_flat = idx.reshape(-1)
-    zfrag_flat = zfrag_plane.reshape(-1) if zfrag_plane is not None else None
-
-    def occ_batch(batch):
-        safe = jnp.minimum(batch, HW - 1)
-        px = safe % W
-        py = safe // W
-        if zfrag_flat is not None:
-            zf = zfrag_flat[safe]
-        else:
-            frag = _gather_fragments(
-                setup, idx_flat[safe], ("zv",), config, pixel_coords=(px, py)
-            )
-            zf = compute_varyings(frag, VARYING_SPECS["occlusion"], jnp)["zfrag"]
-        return shaders.occlusion_coefficient(
-            px.astype(jnp.float32), py.astype(jnp.float32), zf,
-            shadow_buffer, uniforms, config, jnp,
-        )
-
-    occ_init = jnp.ones((HW + 1,), jnp.float32)
-
-    def cond(state):
-        k, _ = state
-        return k * cap < count
-
-    def body(state):
-        k, acc = state
-        b = jax.lax.dynamic_slice_in_dim(cidx, k * cap, cap).reshape(rows, LANES)
-        acc = acc.at[b].set(occ_batch(b), mode="drop")
-        return k + 1, acc
-
-    _, occ_full = jax.lax.while_loop(cond, body, (jnp.int32(0), occ_init))
-    occ = occ_full[:HW].reshape(H, W)
-    return ml.color_blend(
-        jnp.asarray(shaders.WHITE), jnp.asarray(shaders.BLACK), occ, jnp
     )
 
 
