@@ -355,11 +355,7 @@ def _shadow_fetch(shadow_buffer, sx, sy, width, xp):
     unchecked and would panic out of range (shader.rs:774-778) — we clamp
     (documented divergence).
     """
-    ix = ml.rust_f32_to_u32(ml.rust_round(sx, xp), xp)
-    iy = ml.rust_f32_to_u32(ml.rust_round(sy, xp), xp)
-    flat = ix + iy * xp.uint32(width)
-    size = shadow_buffer.shape[0] * shadow_buffer.shape[1]
-    flat = xp.minimum(flat, xp.uint32(size - 1)).astype(xp.int32)
+    flat = shadow_flat_indices(sx, sy, shadow_buffer.shape, width, xp)
     return shadow_buffer.reshape(-1)[flat]
 
 
@@ -463,17 +459,21 @@ def shade_shadow(frag, uniforms, textures, config, xp):
     )
 
 
-def occlusion_coefficient(xf, yf, zfrag, shadow_buffer, uniforms, config, xp):
-    """The occlusion core (shader.rs:882-941) for any batch of fragments:
-    16-sample circular probe of the shadow buffer in the plane perpendicular
-    to the light.  Returns the occlusion coefficient per fragment."""
+def occlusion_sample_coords(xf, yf, zfrag, uniforms, config, xp):
+    """Float shadow-space coords of the occlusion probe (shader.rs:882-933).
+
+    Returns (sxs, sys): each (n+1, ...) float32 where rows 0..n-1 are the
+    16 circular samples and row n is the fragment's own shadow coord.
+    Single source of truth for the sample-position arithmetic shared by
+    the XLA gather path, the Pallas stencil-fetch path, and the locality
+    probe — identical per-sample math to n separate fetches.
+    """
     p = xp.stack([xf, yf, zfrag], axis=-1)
 
     light = ml.mat4_transform_vector(uniforms["i_m"], uniforms["t_light_direction"], xp)
     world = ml.mat4_transform_point(uniforms["i_vpmv"], p, xp)
     sm = ml.mat4_mul(uniforms["shadow_matrix"], uniforms["i_vpmv"])
     fsc = ml.mat4_transform_point(sm, p, xp)
-    fval = _shadow_fetch(shadow_buffer, fsc[..., 0], fsc[..., 1], config.width, xp)
 
     rot = ml.rotation_between(
         xp.asarray(np.array([0.0, 0.0, 1.0], dtype=np.float32)), light, xp
@@ -481,16 +481,9 @@ def occlusion_coefficient(xf, yf, zfrag, shadow_buffer, uniforms, config, xp):
 
     n = config.occlusion_samples
     angle_coef = np.float32(2.0 * np.pi) / np.float32(n)
-    inv_n = xp.float32(1.0) / xp.float32(n)
     step_size = xp.float32(config.occlusion_step)
-    threshold = xp.float32(config.occlusion_threshold)
-    depth_scale = xp.float32(config.occlusion_depth_scale)
 
-    occ = xp.ones_like(fval)
     S = uniforms["shadow_matrix"]
-    # All n sample coords are computed elementwise, then fetched with ONE
-    # gather of (n, ...) indices — identical per-sample arithmetic to n
-    # separate fetches (shader.rs:922-933), fewer gather dispatches.
     sxs, sys = [], []
     for i in range(n):
         ang = np.float32(angle_coef * np.float32(i))
@@ -500,15 +493,52 @@ def occlusion_coefficient(xf, yf, zfrag, shadow_buffer, uniforms, config, xp):
         ssc = ml.mat4_transform_point(S, sample, xp)
         sxs.append(ssc[..., 0])
         sys.append(ssc[..., 1])
-    svals = _shadow_fetch(
-        shadow_buffer, xp.stack(sxs), xp.stack(sys), config.width, xp
-    )  # (n, ...)
+    sxs.append(fsc[..., 0])
+    sys.append(fsc[..., 1])
+    return xp.stack(sxs), xp.stack(sys)
+
+
+def shadow_flat_indices(sxs, sys, shadow_shape, width, xp):
+    """Rounded, saturated, clamped FLAT shadow-buffer indices — exactly
+    _shadow_fetch's index arithmetic (shader.rs:774-778 semantics), split
+    out so the stencil-fetch path indexes identically."""
+    ix = ml.rust_f32_to_u32(ml.rust_round(sxs, xp), xp)
+    iy = ml.rust_f32_to_u32(ml.rust_round(sys, xp), xp)
+    flat = ix + iy * xp.uint32(width)
+    size = shadow_shape[0] * shadow_shape[1]
+    return xp.minimum(flat, xp.uint32(size - 1)).astype(xp.int32)
+
+
+def occlusion_update(svals, fval, config, xp):
+    """The occlusion accumulation loop (shader.rs:934-941): svals (n, ...)
+    sampled shadow values, fval the fragment's own shadow value."""
+    n = config.occlusion_samples
+    inv_n = xp.float32(1.0) / xp.float32(n)
+    threshold = xp.float32(config.occlusion_threshold)
+    depth_scale = xp.float32(config.occlusion_depth_scale)
+    occ = xp.ones_like(fval)
     for i in range(n):
         sval = svals[i]
         occluded = (sval - threshold) > fval
         strength = xp.minimum((sval - fval) / depth_scale, xp.float32(1.0))
         occ = xp.where(occluded, occ - inv_n * strength, occ)
     return occ
+
+
+def occlusion_coefficient(xf, yf, zfrag, shadow_buffer, uniforms, config, xp):
+    """The occlusion core (shader.rs:882-941) for any batch of fragments:
+    16-sample circular probe of the shadow buffer in the plane perpendicular
+    to the light.  Returns the occlusion coefficient per fragment.
+
+    All n+1 coords are computed elementwise, then fetched with ONE gather
+    of (n+1, ...) indices — identical per-sample arithmetic to n separate
+    fetches (shader.rs:922-933), fewer gather dispatches.
+    """
+    n = config.occlusion_samples
+    sxs, sys = occlusion_sample_coords(xf, yf, zfrag, uniforms, config, xp)
+    flat = shadow_flat_indices(sxs, sys, shadow_buffer.shape, config.width, xp)
+    vals = shadow_buffer.reshape(-1)[flat]  # (n+1, ...)
+    return occlusion_update(vals[:n], vals[n], config, xp)
 
 
 def shade_occlusion(frag, uniforms, textures, config, xp):
