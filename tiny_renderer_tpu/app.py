@@ -231,11 +231,21 @@ def run_interactive(scene: Scene, args, viewer=None, clock=time.monotonic) -> np
         if not os.environ.get("DISPLAY"):
             print("no display available; falling back to headless")
             return run_headless(scene, args)
+        # Prefer the dedicated native window (show-image parity,
+        # src/app.rs:148-153); matplotlib is the fallback viewer.
         try:
-            viewer = MatplotlibViewer()
+            from .viewer_x11 import X11Viewer
+
+            viewer = X11Viewer(scene.config.width, scene.config.height)
         except Exception as e:  # pragma: no cover - depends on host GUI
-            print(f"interactive viewer unavailable ({e}); falling back to headless")
-            return run_headless(scene, args)
+            print(f"X11 viewer unavailable ({e}); trying matplotlib")
+            try:
+                viewer = MatplotlibViewer()
+            except Exception as e2:
+                print(
+                    f"interactive viewer unavailable ({e2}); falling back to headless"
+                )
+                return run_headless(scene, args)
 
     cfg = scene.config
     state = InputState(
