@@ -1,0 +1,80 @@
+"""Sweep raster_group x strip_len on hardware (diablo shadow headline).
+
+Burst-marginal protocol identical to bench.py (dispatch latency cancels,
+inputs jittered against the runtime's execution dedupe).
+
+Usage: scripts/tpu_retry.sh /tmp/sweep.log x python scripts/knob_sweep.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tiny_renderer_tpu import RenderConfig, load_model
+    from tiny_renderer_tpu.pipelines.frame import make_burst_fn, prepack_textures
+
+    np.asarray(jnp.ones((8, 128)) * 2)
+    print("TUNNEL-LIVE", flush=True)
+
+    model = load_model("/root/reference/assets/diablo", verbose=False)
+    geom = {
+        "positions": model.mesh.positions,
+        "tex_coords": model.mesh.tex_coords,
+        "normals": model.mesh.normals,
+        "pos_idx": model.mesh.pos_idx,
+        "tex_idx": model.mesh.tex_idx,
+        "normal_idx": model.mesh.normal_idx,
+    }
+    tex = {
+        "texture": model.texture,
+        "normal_map": model.normal_map,
+        "normal_map_tangent": model.normal_map_tangent,
+        "specular_map": model.specular_map,
+    }
+    gj = {k: jnp.asarray(v) for k, v in geom.items()}
+    tj = {k: jnp.asarray(v) for k, v in tex.items()}
+    tj = prepack_textures(tj, "shadow")
+
+    n = 40
+    rng = np.random.default_rng()
+
+    def measure(cfg, pipeline="shadow"):
+        base = float(rng.uniform(0, 1e-2))
+        cam = (0.37 + base + 1e-4 * np.arange(n)).astype(np.float32)
+        lig = (-0.6 + base + 1e-4 * np.arange(n)).astype(np.float32)
+        burst = make_burst_fn(pipeline, cfg, backend="pallas")
+
+        def run(c, l):
+            out = burst(gj, tj, jnp.asarray(c), jnp.asarray(l))
+            np.asarray(out["checksums"])
+
+        run(cam[:8], lig[:8])
+        run(cam, lig)
+        best = np.inf
+        for rep in range(3):
+            e = (rep + 1) * 1e-5
+            t0 = time.perf_counter(); run(cam[:8] + e, lig[:8]); t8 = time.perf_counter() - t0
+            t0 = time.perf_counter(); run(cam + e, lig); tn = time.perf_counter() - t0
+            best = min(best, (tn - t8) * 1e3 / (n - 8))
+        return best
+
+    for group in (12, 16, 24, 32):
+        for sl in (16,):
+            cfg = RenderConfig(raster_group=group, strip_len=sl)
+            ms = measure(cfg)
+            print(f"group={group:2d} strip_len={sl:3d}  {ms:7.3f} ms/frame", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -208,6 +208,48 @@ class TestBinningAndPallas:
         covered = idx_j >= 0
         np.testing.assert_allclose(z_p[covered], z_j[covered], rtol=1e-5, atol=1e-4)
 
+    def test_raster_group_invariant(self):
+        """The depth loop's candidate merge is exact at any group width —
+        winners and z must be bit-identical across group sizes (the tie
+        rule must not depend on the ILP knob)."""
+        cfg, s = self._setup()
+        records, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+
+        def run(group):
+            z, idx, _ = rasterize_pallas(
+                records, counts,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,
+                group=group, interpret=True,
+            )
+            return np.asarray(z), np.asarray(idx)
+
+        z4, idx4 = run(4)
+        for g in (1, 3, 8):
+            zg, idxg = run(g)
+            np.testing.assert_array_equal(idxg, idx4)
+            np.testing.assert_array_equal(zg, z4)
+
+    def test_emit_z_false_same_winners(self):
+        """emit_z=False keeps the resolve in VMEM scratch: idx identical,
+        z not emitted."""
+        cfg, s = self._setup()
+        records, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        z, idx, _ = rasterize_pallas(
+            records, counts,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,
+            interpret=True,
+        )
+        z2, idx2, _ = rasterize_pallas(
+            records, counts,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,
+            emit_z=False, interpret=True,
+        )
+        assert z2 is None
+        np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx))
+
 
 class TestOverflowFlags:
     def test_span_clamp_flag(self):

@@ -55,6 +55,11 @@ class RenderConfig:
     # Triangle-block size for the pure-jnp raster path.  Each scan step
     # materializes (tri_block, H, W) intermediates — keep modest.
     tri_block: int = 64
+    # Triangles per depth-loop iteration in the Pallas kernel: the VMEM
+    # scalar record reads dominate that loop and grouping pipelines them
+    # (frame cost measured on hardware: 1-wide > 2-wide > 4-wide).  The
+    # ascending-index candidate merge keeps the tie rule exact at any group.
+    raster_group: int = 4
     # Strip-compacted shading (kernel backends): per-pixel gathers run only
     # on covered strip_len-px strips, in batches of strip_batch strips gated by
     # the covered-strip count (see frame._shade_strips).  Strips beat exact
@@ -94,6 +99,8 @@ class RenderConfig:
             raise ValueError("occlusion_samples must be >= 1")
         if self.strip_batch < 1:
             raise ValueError("strip_batch must be >= 1")
+        if self.raster_group < 1:
+            raise ValueError("raster_group must be >= 1")
         if self.strip_len < 1 or (self.strip_batch * self.strip_len) % 128 != 0:
             raise ValueError(
                 "strip_len must be >= 1 with strip_batch * strip_len a "

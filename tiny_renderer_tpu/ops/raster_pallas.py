@@ -66,10 +66,17 @@ def _plane_layout(spec):
 
 
 def _raster_kernel(
-    starts_ref, row_off_ref, rec_ref, z_ref, *rest, tile_h, tile_w, tiles_x, spec, emit_idx
+    starts_ref, row_off_ref, rec_ref, *rest,
+    tile_h, tile_w, tiles_x, spec, emit_idx, emit_z, group,
 ):
     planes = _plane_layout(spec)
     rest = list(rest)
+    # Output order: [z if emit_z] [idx if needed] [varys if planes]; when z
+    # is not emitted it lives in the trailing VMEM scratch instead (the
+    # depth resolve still runs entirely in VMEM — only the HBM write of the
+    # z target is skipped, e.g. the camera pass of the strip-compacted
+    # shade, which consumes idx only).
+    z_ref = rest.pop(0) if emit_z else rest.pop()
     idx_ref = rest.pop(0) if emit_idx or planes else None
     vary_ref = rest.pop(0) if planes else None
 
@@ -130,13 +137,13 @@ def _raster_kernel(
         zval = (w * z1 + u * z2) + v * z3
         return inside, zval, gidx
 
-    # Four triangles per iteration: the ~12-cycle VMEM scalar record reads
-    # dominate the loop, and grouping lets them pipeline (measured: 2-wide
-    # cut the headline raster ~40%; 4-wide squeezes the remainder).  The
-    # merge below applies candidates strictly in ascending global-index
+    # `group` triangles per iteration: the ~12-cycle VMEM scalar record
+    # reads dominate the loop, and grouping lets them pipeline (measured:
+    # 2-wide cut the headline raster ~40%; 4-wide squeezed the remainder).
+    # The merge below applies candidates strictly in ascending global-index
     # order, so the tie rule (z <= stored -> reject; shader.rs:169-180) is
     # preserved exactly.
-    GROUP = 4
+    GROUP = group
 
     def depth_group(i, _):
         k0 = start + GROUP * i
@@ -209,7 +216,8 @@ def _raster_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tile_h", "tile_w", "tiles_y", "tiles_x", "spec", "emit_idx", "interpret",
+        "tile_h", "tile_w", "tiles_y", "tiles_x", "spec", "emit_idx", "emit_z",
+        "group", "interpret",
     ),
 )
 def rasterize_pallas(
@@ -223,6 +231,8 @@ def rasterize_pallas(
     tiles_x,
     spec=(),
     emit_idx=True,
+    emit_z=True,
+    group=4,
     interpret=False,
 ):
     """Run the raster kernel.
@@ -236,23 +246,32 @@ def rasterize_pallas(
       emit_idx: write the winning-triangle-index target.  Depth-only passes
         (the shadow map, shader.rs:694-709) need only max z — skipping the
         index output saves its full HBM write.
+      emit_z: write the depth target.  The strip-compacted shade consumes
+        idx only, so its camera pass skips the z write (the depth resolve
+        itself is unchanged — z lives in a VMEM scratch).
+      group: triangles per depth-loop iteration (config.raster_group).
 
     Returns (z, idx, varyings) of spatial shape (tiles_y*tile_h,
-    tiles_x*tile_w): winning depth (F32_MIN where uncovered), winning
-    triangle index (-1 where uncovered; None if not emitted), and the
-    (num_planes, H, W) f32 interpolated varyings (None if spec is empty).
+    tiles_x*tile_w): winning depth (F32_MIN where uncovered; None if not
+    emitted), winning triangle index (-1 where uncovered; None if not
+    emitted), and the (num_planes, H, W) f32 interpolated varyings (None
+    if spec is empty).
     """
     H = tiles_y * tile_h
     W = tiles_x * tile_w
     n_planes = sum(c for (_, c, _) in spec) if spec else 0
     with_idx = emit_idx or n_planes > 0  # phase 2 reads the index target
+    assert emit_z or with_idx, "kernel must emit at least one target"
 
     if row_tile_offset is None:
         row_tile_offset = jnp.zeros((1,), jnp.int32)
 
     tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, r: (ty, tx))
-    out_specs = [tile_spec]
-    out_shape = [jax.ShapeDtypeStruct((H, W), jnp.float32)]
+    out_specs = []
+    out_shape = []
+    if emit_z:
+        out_specs.append(tile_spec)
+        out_shape.append(jax.ShapeDtypeStruct((H, W), jnp.float32))
     if with_idx:
         out_specs.append(tile_spec)
         out_shape.append(jax.ShapeDtypeStruct((H, W), jnp.int32))
@@ -273,6 +292,9 @@ def rasterize_pallas(
             ),
         ],
         out_specs=out_specs,
+        scratch_shapes=(
+            [] if emit_z else [pltpu.VMEM((tile_h, tile_w), jnp.float32)]
+        ),
     )
 
     kernel = functools.partial(
@@ -282,6 +304,8 @@ def rasterize_pallas(
         tiles_x=tiles_x,
         spec=spec,
         emit_idx=with_idx,
+        emit_z=emit_z,
+        group=group,
     )
     outs = pl.pallas_call(
         kernel,
@@ -290,7 +314,7 @@ def rasterize_pallas(
         interpret=interpret,
     )(starts, row_tile_offset.astype(jnp.int32), csr_records)
     outs = list(outs)
-    z = outs.pop(0)
+    z = outs.pop(0) if emit_z else None
     idx = outs.pop(0) if with_idx else None
     varys = outs.pop(0) if n_planes else None
     return z, idx, varys

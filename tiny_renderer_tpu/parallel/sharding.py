@@ -78,6 +78,7 @@ def _raster_shard(setup, config, rows_per_shard, y0, backend, spec=(), emit_idx=
         tiles_x=local_cfg.tiles_x,
         spec=spec,
         emit_idx=emit_idx,
+        group=config.raster_group,
         interpret=(backend == "pallas_interpret"),
     )
     return (

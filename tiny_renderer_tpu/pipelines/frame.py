@@ -76,13 +76,15 @@ _GATHER_KEYS = {
 }
 
 
-def _rasterize(setup, config, backend, spec=(), emit_idx=True):
+def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True):
     """Backend dispatch.
 
     Returns (z, idx, varys) cropped to (height, width); varys is None on the
     jnp backend (the gather path computes varyings).  The crops are lazy
     slices that XLA fuses into consumers — keeping shading (and especially
     its per-pixel gathers, the dominant cost) at the unpadded pixel count.
+    emit_z=False (kernel backends) skips the z target's HBM write when the
+    caller consumes idx only.
     """
     H, W = config.height, config.width
     if backend == "jnp":
@@ -98,10 +100,12 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True):
         tiles_x=config.tiles_x,
         spec=spec,
         emit_idx=emit_idx,
+        emit_z=emit_z,
+        group=config.raster_group,
         interpret=(backend == "pallas_interpret"),
     )
     return (
-        z[:H, :W],
+        z[:H, :W] if z is not None else None,
         idx[:H, :W] if idx is not None else None,
         varys[:, :H, :W] if varys is not None else None,
         overflowed,
@@ -203,11 +207,15 @@ def render_frame(
     pipeline,
     config,
     backend,
+    needs_z=True,
 ):
     """Render one frame. Returns dict(frame u8 (H,W,3), z f32, shadow f32).
 
     Row 0 is raster y=0 (bottom of the world — the reference's frame_buffer
-    layout before the presentation flip, scene.rs:92-97).
+    layout before the presentation flip, scene.rs:92-97).  needs_z=False
+    (static) lets the kernel backends skip the camera pass's z-target HBM
+    write when the caller only consumes the frame (e.g. burst rendering);
+    the returned "z" is then None.
     """
     spec = PIPELINES[pipeline]
     vspec = VARYING_SPECS[pipeline]
@@ -255,7 +263,11 @@ def render_frame(
         kspec = ()  # raster emits z+idx only; shading re-derives varyings
     else:
         kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
-    z, idx, varys, ovf2 = _rasterize(setup, config, backend, spec=kspec)
+    # The camera pass's z target is consumed only by callers (debug views,
+    # parity checks) — shading reads idx / varying planes.
+    z, idx, varys, ovf2 = _rasterize(
+        setup, config, backend, spec=kspec, emit_z=needs_z
+    )
     ovf2 = ovf2 | setup["coord_overflow"]
 
     if compact:
@@ -494,6 +506,7 @@ def render_burst(
         out = render_frame(
             geom, textures, light, look_from, look_at, up,
             pipeline=pipeline, config=config, backend=backend,
+            needs_z=False,  # bursts consume frames/checksums only
         )
         checksum = jnp.sum(out["frame"].astype(jnp.uint32))
         y = (checksum, out["frame"]) if keep_frames else (checksum,)
