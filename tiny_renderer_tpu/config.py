@@ -56,10 +56,11 @@ class RenderConfig:
     # materializes (tri_block, H, W) intermediates — keep modest.
     tri_block: int = 64
     # Triangles per depth-loop iteration in the Pallas kernel: the VMEM
-    # scalar record reads dominate that loop and grouping pipelines them
-    # (frame cost measured on hardware: 1-wide > 2-wide > 4-wide).  The
-    # ascending-index candidate merge keeps the tie rule exact at any group.
-    raster_group: int = 4
+    # scalar record reads dominate that loop and grouping pipelines them.
+    # The ascending-index candidate merge keeps the tie rule exact at any
+    # group.  Headline sweep on the dev chip (scripts/knob_sweep.py):
+    # 4-wide 5.40 ms, 8-wide 5.12, 16-wide 4.99; flat beyond.
+    raster_group: int = 16
     # Strip-compacted shading (kernel backends): per-pixel gathers run only
     # on covered strip_len-px strips, in batches of strip_batch strips gated by
     # the covered-strip count (see frame._shade_strips).  Strips beat exact
