@@ -2,10 +2,9 @@
 
 Measures, via scan-marginals (dispatch latency cancels, inputs jittered):
   1. occlusion_coefficient alone on a 64k-fragment batch (the 17-gather core)
-  2. the same with the sample-coordinate math but a single repeated gather
-     (isolates gather rows vs coordinate compute)
-  3. the full compacted occlusion shade on a real idx/coverage
-  4. the full occlusion frame
+  2. the raw 17x64k gather floor (same rows, no coordinate math — isolates
+     gather rows vs coordinate compute)
+  3. the full occlusion frame
 
 Usage: scripts/tpu_retry.sh /tmp/occp.log x python scripts/occlusion_probe.py
 """

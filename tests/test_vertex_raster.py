@@ -282,21 +282,3 @@ class TestConfigValidation:
     def test_bad_size(self):
         with pytest.raises(ValueError, match="frame size"):
             RenderConfig(width=0)
-
-
-def test_compact_indices_matches_nonzero():
-    import numpy as np
-    import jax.numpy as jnp
-    from tiny_renderer_tpu.pipelines.frame import _compact_indices
-
-    rng = np.random.default_rng(3)
-    for n in (128, 640, 1000, 4096):
-        mask = rng.random(n) < 0.25
-        ref = np.asarray(jnp.nonzero(jnp.asarray(mask), size=n, fill_value=n)[0])
-        got = np.asarray(_compact_indices(jnp.asarray(mask)))
-        np.testing.assert_array_equal(got, ref)
-    # all-False and all-True edges
-    for mask in (np.zeros(256, bool), np.ones(256, bool)):
-        ref = np.asarray(jnp.nonzero(jnp.asarray(mask), size=256, fill_value=256)[0])
-        got = np.asarray(_compact_indices(jnp.asarray(mask)))
-        np.testing.assert_array_equal(got, ref)

@@ -32,6 +32,7 @@ from tiny_renderer_tpu.viewer_x11 import (
 # realistic keycode->keysym table for the fake XLookupKeysym.
 KEYCODE_TO_KEYSYM = {38: 0x61, 40: 0x64, 26: 0x65, 24: 0x71, 9: 0xFF1B}
 WM_DELETE_ATOM = 101
+WM_PROTOCOLS_ATOM = 102
 
 
 class FakeXlib:
@@ -53,9 +54,10 @@ class FakeXlib:
         ev.xkey.keycode = keycode
         return ev
 
-    def delete_event(self, atom=WM_DELETE_ATOM):
+    def delete_event(self, atom=WM_DELETE_ATOM, message_type=WM_PROTOCOLS_ATOM):
         ev = XEvent()
         ev.xclient.type = CLIENT_MESSAGE
+        ev.xclient.message_type = message_type
         ev.xclient.data[0] = atom
         return ev
 
@@ -91,7 +93,8 @@ class FakeXlib:
 
     def XInternAtom(self, dpy, name, only_if_exists):
         self.calls.append(("intern_atom", name))
-        return WM_DELETE_ATOM if name == b"WM_DELETE_WINDOW" else 5
+        return {b"WM_DELETE_WINDOW": WM_DELETE_ATOM,
+                b"WM_PROTOCOLS": WM_PROTOCOLS_ATOM}.get(name, 5)
 
     def XSetWMProtocols(self, dpy, win, atoms, count):
         arr = ctypes.cast(atoms, ctypes.POINTER(ctypes.c_ulong))
@@ -179,7 +182,12 @@ def test_key_events_decode_through_real_structs():
 def test_wm_delete_ends_alive():
     fake = FakeXlib()
     v = X11Viewer(4, 4, lib=fake)
-    fake.script = {0: [fake.delete_event()]}
+    # A non-WM_PROTOCOLS client message whose data[0] happens to equal the
+    # delete atom (e.g. XDND traffic) must NOT close the window.
+    fake.script = {0: [fake.delete_event(message_type=999)],
+                   1: [fake.delete_event()]}
+    assert v.alive
+    v.show(np.zeros((4, 4, 3), np.uint8))
     assert v.alive
     v.show(np.zeros((4, 4, 3), np.uint8))
     assert not v.alive

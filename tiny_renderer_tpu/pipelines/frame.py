@@ -224,7 +224,7 @@ def render_frame(
     if geom["pos_idx"].shape[0] == 0:  # empty scene: clear buffers only
         return {
             "frame": jnp.zeros((H, W, 3), jnp.uint8),
-            "z": jnp.full((H, W), ml.F32_MIN, jnp.float32),
+            "z": jnp.full((H, W), ml.F32_MIN, jnp.float32) if needs_z else None,
             "shadow": jnp.full((H, W), ml.F32_MIN, jnp.float32),
             "overflow": jnp.asarray(False),
         }
@@ -311,25 +311,6 @@ def _add_const_gather(frag, kspec, vspec, setup, idx):
     for name, comps, _ in dropped:
         frag[name] = g[..., pos : pos + comps]
         pos += comps
-
-
-def _compact_indices(covered):
-    """Indices of True entries, front-compacted; fill = n for the tail.
-
-    Equivalent of jnp.nonzero(covered, size=n, fill_value=n) but ~13x
-    cheaper on TPU (0.44 ms vs 5.9 ms at 640k on the dev chip,
-    scripts/gather_probe.py --compaction): a flat cumsum is ~free and the
-    position scatter's indices are monotone, which the scatter engine
-    handles at near-sequential bandwidth.
-    """
-    n = covered.shape[0]
-    pos = jnp.cumsum(covered.astype(jnp.int32)) - 1
-    tgt = jnp.where(covered, pos, n)
-    return (
-        jnp.full((n,), n, jnp.int32)
-        .at[tgt]
-        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    )
 
 
 def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):

@@ -21,6 +21,8 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 
+import numpy as np
+
 # ---------------------------------------------------------------------------
 # Minimal Xlib ABI surface (stable since X11R6; defined here because the
 # image ships libX11.so.6 but no headers).
@@ -178,6 +180,7 @@ class X11Viewer:
             KEY_PRESS_MASK | KEY_RELEASE_MASK | STRUCTURE_NOTIFY_MASK,
         )
         # Ask the WM to send a ClientMessage instead of killing us on close.
+        self._wm_protocols = self._x.XInternAtom(self._dpy, b"WM_PROTOCOLS", 0)
         self._wm_delete = self._x.XInternAtom(
             self._dpy, b"WM_DELETE_WINDOW", 0
         )
@@ -216,22 +219,26 @@ class X11Viewer:
                 else:
                     self._on_release(key)
             elif ev.type == CLIENT_MESSAGE:
-                if int(ev.xclient.data[0]) == int(self._wm_delete):
+                # Only WM_PROTOCOLS messages carry the close request; other
+                # client messages (XDND etc.) must not close the window.
+                if (
+                    int(ev.xclient.message_type) == int(self._wm_protocols)
+                    and int(ev.xclient.data[0]) == int(self._wm_delete)
+                ):
                     self._alive = False
 
     def show(self, frame):
         """Blit an (H, W, 3) u8 RGB frame (row 0 = top, like imshow) and
         drain the event queue — the reference's per-frame set_image +
         try_iter pair (src/app.rs:216-224)."""
-        import numpy as np
-
         h = min(self._h, frame.shape[0])
         w = min(self._w, frame.shape[1])
-        bgrx = np.zeros((self._h, self._w, 4), np.uint8)
+        # Write channels straight into the XImage's buffer (one copy, no
+        # per-frame allocation — this is the interactive hot path).
+        bgrx = np.frombuffer(self._buf, np.uint8).reshape(self._h, self._w, 4)
         bgrx[:h, :w, 0] = frame[:h, :w, 2]  # B
         bgrx[:h, :w, 1] = frame[:h, :w, 1]  # G
         bgrx[:h, :w, 2] = frame[:h, :w, 0]  # R
-        ctypes.memmove(self._buf, bgrx.tobytes(), self._w * self._h * 4)
         self._x.XPutImage(
             self._dpy, self._win, self._gc, self._img,
             0, 0, 0, 0, self._w, self._h,
