@@ -38,6 +38,7 @@ from ..pipelines.frame import (
     _add_const_gather,
     _fragments_from_planes,
     _shade_jnp_path,
+    _shade_strips,
 )
 from ..pipelines.shaders import VARYING_SPECS, kernel_varying_spec
 
@@ -120,26 +121,40 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
 
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
     vspec = VARYING_SPECS[pipeline]
-    kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
+    # Same shade strategy as the single-device path (frame.render_frame):
+    # strip-compacted shading on the kernel backends — each device compacts
+    # and shades only its own slab's covered strips — varying planes or the
+    # full-slab gather path otherwise.
+    compact = backend != "jnp" and config.compact_shade
+    if compact:
+        kspec = ()
+    else:
+        kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
     z, idx, varys, ovf2 = _raster_shard(
         setup, config, rows_per_shard, y0, backend, spec=kspec
     )
     ovf2 = ovf2 | setup["coord_overflow"]
 
-    if varys is None:
-        frag = _shade_jnp_path(setup, idx, pipeline, config, y_offset=y0)
-    else:
-        frag = _fragments_from_planes(kspec, varys, rows_per_shard, W, y_offset=y0)
-        _add_const_gather(frag, kspec, vspec, setup, idx)
-    if spec.two_pass:
-        frag["shadow_buffer"] = shadow_full
     if _needs_pack(textures, pipeline):
         textures = shaders.pack_textures(
             textures, _pipeline_maps()[pipeline], jnp
         )
-    colors = spec.shade(frag, uniforms, textures, config, jnp)
-    covered = (idx >= 0)[..., None]
-    frame = jnp.where(covered, colors, jnp.uint8(0))
+    if compact:
+        frame = _shade_strips(
+            setup, idx, pipeline, uniforms, textures, config,
+            shadow_full if spec.two_pass else None, y_offset=y0,
+        )
+    else:
+        if varys is None:
+            frag = _shade_jnp_path(setup, idx, pipeline, config, y_offset=y0)
+        else:
+            frag = _fragments_from_planes(kspec, varys, rows_per_shard, W, y_offset=y0)
+            _add_const_gather(frag, kspec, vspec, setup, idx)
+        if spec.two_pass:
+            frag["shadow_buffer"] = shadow_full
+        colors = spec.shade(frag, uniforms, textures, config, jnp)
+        covered = (idx >= 0)[..., None]
+        frame = jnp.where(covered, colors, jnp.uint8(0))
     # Per-shard overflow (binning caps / coord exactness drops), shape (1,)
     # so shard_map can concatenate over "rows"; callers any()-reduce it.
     overflow = jnp.reshape(ovf1 | ovf2, (1,))

@@ -313,9 +313,15 @@ def _add_const_gather(frag, kspec, vspec, setup, idx):
         pos += comps
 
 
-def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
+def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
+                  y_offset=0):
     """Strip-compacted shading: the gather-bound stage runs only on covered
     config.strip_len-pixel strips.
+
+    idx may be a row slab of the full frame (the sharded path): y_offset is
+    the slab's global first row, so pixel coords fed to the shade functions
+    (and their shadow-space transforms) stay global while the scatter
+    targets stay slab-local.
 
     Frame cost on TPU is dominated by per-pixel gathers (texture words,
     shadow-map fetches) at a fixed per-row cost, and typical scenes cover
@@ -338,7 +344,7 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
     """
     spec = PIPELINES[pipeline]
     vspec = VARYING_SPECS[pipeline]
-    H, W = idx.shape
+    H, W = idx.shape  # slab height x frame width
     HW = H * W
     # Strip length: shorter strips track coverage tighter (diablo shadow:
     # 18% pixel coverage => 25% of 32-px strips vs 39% of 128-px strips
@@ -382,7 +388,7 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z):
             (safe_ids[:, None] * SL + lane).reshape(R, 128), HW - 1
         )
         px = base % W
-        py = base // W
+        py = base // W + y_offset
         frag = _gather_fragments(
             setup, sidx, keys, config, pixel_coords=(px, py)
         )
