@@ -135,6 +135,39 @@ def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800):
     }
 
 
+def chip_health():
+    """Microprobe of the two costs that dominate this renderer: MXU matmul
+    throughput and per-row gather cost.  The tunnel dev chip is bimodal
+    (healthy ~179 Tflop/s / 7.3 ns-per-row; degraded phases measure ~11
+    Tflop/s / ~250 ns-per-row for hours) — recording the state alongside
+    the headline makes every bench self-interpreting."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(0).random((4096, 4096)).astype(np.float32))
+    f = jax.jit(lambda a: a @ a)
+    np.asarray(f(x)[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        r = f(x)
+    np.asarray(r[0, 0])
+    dt = (time.perf_counter() - t0) / 3
+    tflops = 2 * 4096**3 / dt / 1e12
+
+    idx = jnp.asarray(
+        np.random.default_rng(1).integers(0, 4096 * 4096, 640_000).astype(np.int32)
+    )
+    tbl = x.reshape(-1)
+    g = jax.jit(lambda t, i: t[i])
+    np.asarray(g(tbl, idx)[0])
+    t0 = time.perf_counter()
+    for k in range(3):
+        r = g(tbl, idx + k)
+    np.asarray(r[0])
+    dt = (time.perf_counter() - t0) / 3
+    return {"mxu_tflops": tflops, "gather_ns_per_row": dt * 1e9 / 640_000}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="auto")
@@ -152,6 +185,17 @@ def main():
 
     np.asarray(jnp.ones((8, 128)) * 2)
     print("TUNNEL-LIVE", file=sys.stderr, flush=True)
+
+    health = chip_health()
+    print(
+        f"# chip health: {health['mxu_tflops']:.1f} Tflop/s MXU, "
+        f"{health['gather_ns_per_row']:.1f} ns/row gather "
+        f"(healthy dev chip: ~179 Tflop/s, ~7.3 ns/row; the tunnel chip is "
+        f"BIMODAL — degraded phases run ~16x slower MXU / ~35x slower "
+        f"gathers for hours; see BASELINE.md)",
+        file=sys.stderr,
+        flush=True,
+    )
 
     results = []
     configs = CONFIGS if args.all else [("diablo", "shadow", False)]
@@ -177,6 +221,8 @@ def main():
                 "value": round(headline["ms_per_frame"], 4),
                 "unit": "ms",
                 "vs_baseline": round(TARGET_MS / headline["ms_per_frame"], 4),
+                "chip_mxu_tflops": round(health["mxu_tflops"], 1),
+                "chip_gather_ns_per_row": round(health["gather_ns_per_row"], 1),
             }
         )
     )
