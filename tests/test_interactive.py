@@ -160,6 +160,29 @@ def test_window_close_ends_loop(small_scene):
     assert frame is not None
 
 
+def test_viewer_fallback_chain(small_scene, monkeypatch):
+    """DISPLAY set but both viewers unavailable -> headless fallback (the
+    reference requires a window; headless-first is our documented
+    divergence for TPU hosts)."""
+    import tiny_renderer_tpu.app as app_mod
+    import tiny_renderer_tpu.viewer_x11 as vx
+
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(
+        vx, "load_xlib", lambda: (_ for _ in ()).throw(OSError("no libX11"))
+    )
+    monkeypatch.setattr(
+        app_mod, "MatplotlibViewer",
+        lambda: (_ for _ in ()).throw(RuntimeError("no gui")),
+    )
+    args = _args()
+    args.frames = 1
+    args.orbit = False
+    args.timing = False
+    frame = run_interactive(small_scene, args)
+    assert frame is not None and frame.shape == (64, 64, 3)
+
+
 def test_input_state_unit():
     s = InputState(0.5, -0.25, camera_speed=3.0, light_speed=2.0)
     s.on_press("d")
