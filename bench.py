@@ -18,6 +18,7 @@ Usage: python bench.py [--frames 64] [--all] [--backend auto]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import math
 import os
@@ -137,35 +138,51 @@ def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800):
 
 def chip_health():
     """Microprobe of the two costs that dominate this renderer: MXU matmul
-    throughput and per-row gather cost.  The tunnel dev chip is bimodal
-    (healthy ~179 Tflop/s / 7.3 ns-per-row; degraded phases measure ~11
-    Tflop/s / ~250 ns-per-row for hours) — recording the state alongside
-    the headline makes every bench self-interpreting."""
+    throughput and per-row gather cost from a renderer-sized (4 MB) table.
+
+    Burst marginals (difference of two lax.scan lengths, jittered inputs)
+    — the ~31 ms tunnel dispatch RTT would otherwise dominate.  The chip
+    is bimodal (the SAME binary measured a 5.0 and a 137 ms headline an
+    hour apart); recording the probe alongside the headline makes every
+    bench self-interpreting.  NOTE: gathers from much larger tables
+    (e.g. 64 MB) run ~35x slower in EVERY state on this chip — the probe
+    must use renderer-sized tables to track the renderer's regime."""
     import jax
     import jax.numpy as jnp
 
-    x = jnp.asarray(np.random.default_rng(0).random((4096, 4096)).astype(np.float32))
-    f = jax.jit(lambda a: a @ a)
-    np.asarray(f(x)[0, 0])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        r = f(x)
-    np.asarray(r[0, 0])
-    dt = (time.perf_counter() - t0) / 3
-    tflops = 2 * 4096**3 / dt / 1e12
+    rng = np.random.default_rng()
 
-    idx = jnp.asarray(
-        np.random.default_rng(1).integers(0, 4096 * 4096, 640_000).astype(np.int32)
+    def marginal(f, args, n_lo=4, n_hi=16):
+        # Every step's result folds into the carry (a cheap scalar reduce):
+        # no step can be dead-code-eliminated and no big per-step output is
+        # materialized.
+        def burst(n):
+            def body(c, k):
+                # Full-result reduce: cheap next to the op being probed,
+                # and XLA can neither narrow nor skip any step.
+                return c + jnp.sum(f(k, *args)), None
+            c, _ = jax.lax.scan(
+                body, jnp.float32(0), jnp.arange(n, dtype=jnp.int32)
+            )
+            return c
+
+        lo = jax.jit(functools.partial(burst, n_lo))
+        hi = jax.jit(functools.partial(burst, n_hi))
+        np.asarray(lo()); np.asarray(hi())
+        t0 = time.perf_counter(); np.asarray(lo()); t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter(); np.asarray(hi()); t_hi = time.perf_counter() - t0
+        return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+
+    x = jnp.asarray(
+        rng.random((2048, 2048)).astype(np.float32)
     )
-    tbl = x.reshape(-1)
-    g = jax.jit(lambda t, i: t[i])
-    np.asarray(g(tbl, idx)[0])
-    t0 = time.perf_counter()
-    for k in range(3):
-        r = g(tbl, idx + k)
-    np.asarray(r[0])
-    dt = (time.perf_counter() - t0) / 3
-    return {"mxu_tflops": tflops, "gather_ns_per_row": dt * 1e9 / 640_000}
+    mm = marginal(lambda k, a: (a + k.astype(jnp.float32) * 1e-9) @ a, (x,))
+    tflops = 2 * 2048**3 / mm / 1e12
+
+    tbl = jnp.asarray(rng.random(1 << 20).astype(np.float32))  # 4 MB
+    idx = jnp.asarray(rng.integers(0, 1 << 20, 640_000).astype(np.int32))
+    gt = marginal(lambda k, t, i: t[(i + k) & ((1 << 20) - 1)], (tbl, idx))
+    return {"mxu_tflops": tflops, "gather_ns_per_row": gt * 1e9 / 640_000}
 
 
 def main():
@@ -191,8 +208,8 @@ def main():
         f"# chip health: {health['mxu_tflops']:.1f} Tflop/s MXU, "
         f"{health['gather_ns_per_row']:.1f} ns/row gather "
         f"(healthy dev chip: ~179 Tflop/s, ~7.3 ns/row; the tunnel chip is "
-        f"BIMODAL — degraded phases run ~16x slower MXU / ~35x slower "
-        f"gathers for hours; see BASELINE.md)",
+        f"BIMODAL — the same binary has measured 5.0 and 137 ms headlines "
+        f"an hour apart; see BASELINE.md)",
         file=sys.stderr,
         flush=True,
     )
