@@ -69,11 +69,24 @@ def main():
             best = min(best, (tn - t8) * 1e3 / (n - 8))
         return best
 
-    for group in (12, 16, 24, 32):
-        for sl in (16,):
-            cfg = RenderConfig(raster_group=group, strip_len=sl)
+    for i16 in (True, False):
+        for pack in (True, False):
+            cfg = RenderConfig(idx_int16=i16, strip_pack_words=pack)
             ms = measure(cfg)
-            print(f"group={group:2d} strip_len={sl:3d}  {ms:7.3f} ms/frame", flush=True)
+            print(
+                f"idx_int16={int(i16)} pack_words={int(pack)}  "
+                f"{ms:7.3f} ms/frame",
+                flush=True,
+            )
+    # occlusion with the best layout knobs
+    for i16, pack in ((True, True), (True, False)):
+        cfg = RenderConfig(idx_int16=i16, strip_pack_words=pack)
+        ms = measure(cfg, pipeline="occlusion")
+        print(
+            f"occlusion idx_int16={int(i16)} pack_words={int(pack)}  "
+            f"{ms:7.3f} ms/frame",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -151,3 +151,27 @@ def test_strip_shade_within_tie_flip_budget_of_jnp(head_scene_data, camera, pipe
     )
     mismatch = (ref != strips).any(axis=-1).mean()
     assert mismatch <= MISMATCH_BUDGET, f"{pipeline}: mismatch {mismatch:.4%}"
+
+
+@pytest.mark.parametrize("pipeline", ["shadow", "phong"])
+def test_writeback_and_idx_dtype_variants_identical(head_scene_data, camera, pipeline):
+    """The i16 index target and the direct-u8 strip writeback are pure
+    layout changes: frames must be bit-identical to the i32/word-packed
+    defaults on the same backend."""
+    import dataclasses
+
+    geom, tex = head_scene_data
+    gj = jax.tree.map(jnp.asarray, geom)
+    tj = jax.tree.map(jnp.asarray, tex)
+    cam = tuple(jnp.asarray(v) for v in camera)
+    base = RenderConfig(width=128, height=128)
+    ref = make_frame_fn(pipeline, base, backend="pallas_interpret")(gj, tj, *cam)
+    for cfg in (
+        dataclasses.replace(base, idx_int16=False),
+        dataclasses.replace(base, strip_pack_words=False),
+        dataclasses.replace(base, idx_int16=False, strip_pack_words=False),
+    ):
+        out = make_frame_fn(pipeline, cfg, backend="pallas_interpret")(gj, tj, *cam)
+        np.testing.assert_array_equal(
+            np.asarray(out["frame"]), np.asarray(ref["frame"])
+        )

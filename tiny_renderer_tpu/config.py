@@ -61,6 +61,18 @@ class RenderConfig:
     # group.  Headline sweep on the dev chip (scripts/knob_sweep.py):
     # 4-wide 5.40 ms, 8-wide 5.12, 16-wide 4.99; flat beyond.
     raster_group: int = 16
+    # Emit the winning-triangle-index target as int16 (requires < 32768
+    # triangles and tile_h % 16 == 0 — the i16 sublane tile).  Measured
+    # SLOWER on the dev chip (+0.2 ms headline): the kernel's i16
+    # sub-word selects cost more than the halved target bytes save, and
+    # the strip shade's gathers bill per ROW, not per byte.  Kept as a
+    # knob (bit-identical; tests pin it) for bandwidth-rich hardware.
+    idx_int16: bool = False
+    # Strip shade writeback: True packs RGB into one i32 word per pixel
+    # (scatter + unpack pass); False scatters (SL, 3) u8 rows directly.
+    # Direct u8 scatter measured SLOWER (+0.14 ms): the sub-word scatter
+    # penalty exceeds the word intermediate's write+read.
+    strip_pack_words: bool = True
     # Strip-compacted shading (kernel backends): per-pixel gathers run only
     # on covered strip_len-px strips, in batches of strip_batch strips gated by
     # the covered-strip count (see frame._shade_strips).  Strips beat exact

@@ -89,7 +89,7 @@ def _raster_kernel(
 
     z_ref[:] = jnp.full((tile_h, tile_w), F32_MIN, jnp.float32)
     if idx_ref is not None:
-        idx_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        idx_ref[:] = jnp.full((tile_h, tile_w), -1, idx_ref.dtype)
     if vary_ref is not None:
         vary_ref[:] = jnp.zeros_like(vary_ref)
 
@@ -159,7 +159,9 @@ def _raster_kernel(
             win = inside & (zval > z_cur)
             z_cur = jnp.where(win, zval, z_cur)
             if idx_cur is not None:
-                idx_cur = jnp.where(win, jnp.int32(gidx), idx_cur)
+                idx_cur = jnp.where(
+                    win, jnp.int32(gidx).astype(idx_cur.dtype), idx_cur
+                )
         z_ref[:] = z_cur
         if idx_ref is not None:
             idx_ref[:] = idx_cur
@@ -172,7 +174,7 @@ def _raster_kernel(
 
     def vary_body(k, _):
         gidx = rec_ref[k, 12]
-        mask = idx_ref[:] == jnp.int32(gidx)
+        mask = idx_ref[:] == jnp.int32(gidx).astype(idx_ref.dtype)
         cx, cy = edge_functions(k)
         sgn = rec_ref[k, 6]
         absz = rec_ref[k, 7]
@@ -217,7 +219,7 @@ def _raster_kernel(
     jax.jit,
     static_argnames=(
         "tile_h", "tile_w", "tiles_y", "tiles_x", "spec", "emit_idx", "emit_z",
-        "group", "interpret",
+        "group", "idx_dtype", "interpret",
     ),
 )
 def rasterize_pallas(
@@ -233,6 +235,7 @@ def rasterize_pallas(
     emit_idx=True,
     emit_z=True,
     group=4,
+    idx_dtype="int32",
     interpret=False,
 ):
     """Run the raster kernel.
@@ -250,6 +253,9 @@ def rasterize_pallas(
         idx only, so its camera pass skips the z write (the depth resolve
         itself is unchanged — z lives in a VMEM scratch).
       group: triangles per depth-loop iteration (config.raster_group).
+      idx_dtype: "int32" or "int16" for the index target.  int16 halves the
+        target's HBM bytes and is exact for < 32768 triangles (the caller
+        checks; requires tile_h a multiple of 16, the i16 sublane tile).
 
     Returns (z, idx, varyings) of spatial shape (tiles_y*tile_h,
     tiles_x*tile_w): winning depth (F32_MIN where uncovered; None if not
@@ -274,7 +280,7 @@ def rasterize_pallas(
         out_shape.append(jax.ShapeDtypeStruct((H, W), jnp.float32))
     if with_idx:
         out_specs.append(tile_spec)
-        out_shape.append(jax.ShapeDtypeStruct((H, W), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((H, W), jnp.dtype(idx_dtype)))
     if n_planes:
         out_specs.append(
             pl.BlockSpec((n_planes, tile_h, tile_w), lambda ty, tx, s, r: (0, ty, tx))

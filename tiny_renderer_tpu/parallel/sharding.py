@@ -37,6 +37,7 @@ from ..pipelines.frame import (
     PIPELINES,
     _add_const_gather,
     _fragments_from_planes,
+    _idx_dtype,
     _shade_jnp_path,
     _shade_strips,
 )
@@ -73,6 +74,7 @@ def _raster_shard(setup, config, rows_per_shard, y0, backend, spec=(), emit_idx=
         csr,
         starts,
         jnp.reshape(row_off, (1,)).astype(jnp.int32),
+        idx_dtype=_idx_dtype(setup, local_cfg),
         tile_h=local_cfg.tile_h,
         tile_w=local_cfg.tile_w,
         tiles_y=local_cfg.tiles_y,

@@ -94,6 +94,7 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True):
     z, idx, varys = rasterize_pallas(
         csr_records,
         starts,
+        idx_dtype=_idx_dtype(setup, config),
         tile_h=config.tile_h,
         tile_w=config.tile_w,
         tiles_y=config.tiles_y,
@@ -110,6 +111,18 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True):
         varys[:, :H, :W] if varys is not None else None,
         overflowed,
     )
+
+
+def _idx_dtype(setup, config):
+    """int16 index target when the (static) triangle count fits and the
+    tile height matches the i16 sublane tile; int32 otherwise."""
+    if (
+        config.idx_int16
+        and setup["a1"].shape[0] < 32768
+        and config.tile_h % 16 == 0
+    ):
+        return "int16"
+    return "int32"
 
 
 def _pixel_coords(H, W, y_offset=0):
@@ -144,7 +157,7 @@ def _gather_fragments(setup, idx, keys, config, y_offset=0, pixel_coords=None):
     mirrors this in oracle/reference_cpu.py.
     """
     shape = idx.shape
-    safe = jnp.maximum(idx, 0)
+    safe = jnp.maximum(idx, 0).astype(jnp.int32)
 
     cols = [
         setup["a1"].astype(jnp.float32)[:, None],
@@ -306,7 +319,7 @@ def _add_const_gather(frag, kspec, vspec, setup, idx):
         return
     key_of = {"row0": "row0n", "row1": "row1n", "du": "du", "dv": "dv"}
     table = jnp.concatenate([setup[key_of[n]] for (n, _, _) in dropped], axis=1)
-    g = table[jnp.maximum(idx, 0)]  # (H, W, total)
+    g = table[jnp.maximum(idx, 0).astype(jnp.int32)]  # (H, W, total)
     pos = 0
     for name, comps, _ in dropped:
         frag[name] = g[..., pos : pos + comps]
@@ -359,7 +372,7 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
     flat = idx.reshape(-1)
     if n_strips * SL != HW:
         flat = jnp.concatenate(
-            [flat, jnp.full((n_strips * SL - HW,), -1, jnp.int32)]
+            [flat, jnp.full((n_strips * SL - HW,), -1, idx.dtype)]
         )
     strips = flat.reshape(n_strips, SL)
     cov = jnp.any(strips >= 0, axis=1)
@@ -398,12 +411,17 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
         if spec.two_pass:
             varys["shadow_buffer"] = shadow_z
         colors = spec.shade(varys, uniforms, textures, config, jnp)  # (R, 128, 3)
-        c32 = colors.astype(jnp.int32)
-        word = c32[..., 0] | (c32[..., 1] << 8) | (c32[..., 2] << 16)
-        word = jnp.where(sidx >= 0, word, 0).reshape(B, SL)
         # ids are unique (or the n_strips fill -> out of bounds, dropped):
-        # deterministic scatter.
-        return acc.at[ids].set(word, mode="drop")
+        # deterministic scatter either way.
+        if config.strip_pack_words:
+            c32 = colors.astype(jnp.int32)
+            word = c32[..., 0] | (c32[..., 1] << 8) | (c32[..., 2] << 16)
+            word = jnp.where(sidx >= 0, word, 0).reshape(B, SL)
+            return acc.at[ids].set(word, mode="drop")
+        vals = jnp.where(
+            (sidx >= 0)[..., None], colors, jnp.uint8(0)
+        ).reshape(B, SL, 3)
+        return acc.at[ids].set(vals, mode="drop")
 
     def cond(state):
         k, _ = state
@@ -413,11 +431,15 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
         k, acc = state
         return k + 1, shade_batch(k, acc)
 
-    _, out_words = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((n_strips, SL), jnp.int32))
-    )
+    if config.strip_pack_words:
+        acc0 = jnp.zeros((n_strips, SL), jnp.int32)
+    else:
+        acc0 = jnp.zeros((n_strips, SL, 3), jnp.uint8)
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
 
-    w = out_words.reshape(-1)[:HW].reshape(H, W)
+    if not config.strip_pack_words:
+        return out.reshape(-1, 3)[:HW].reshape(H, W, 3)
+    w = out.reshape(-1)[:HW].reshape(H, W)
     return jnp.stack(
         [
             (w & 0xFF).astype(jnp.uint8),
