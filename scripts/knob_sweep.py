@@ -69,24 +69,14 @@ def main():
             best = min(best, (tn - t8) * 1e3 / (n - 8))
         return best
 
-    for i16 in (True, False):
-        for pack in (True, False):
-            cfg = RenderConfig(idx_int16=i16, strip_pack_words=pack)
+    for th in (8, 16, 32):
+        for sb in (256, 512, 1024):
+            cfg = RenderConfig(tile_h=th, strip_batch=sb)
             ms = measure(cfg)
             print(
-                f"idx_int16={int(i16)} pack_words={int(pack)}  "
-                f"{ms:7.3f} ms/frame",
+                f"tile_h={th:2d} strip_batch={sb:4d}  {ms:7.3f} ms/frame",
                 flush=True,
             )
-    # occlusion with the best layout knobs
-    for i16, pack in ((True, True), (True, False)):
-        cfg = RenderConfig(idx_int16=i16, strip_pack_words=pack)
-        ms = measure(cfg, pipeline="occlusion")
-        print(
-            f"occlusion idx_int16={int(i16)} pack_words={int(pack)}  "
-            f"{ms:7.3f} ms/frame",
-            flush=True,
-        )
 
 
 if __name__ == "__main__":
