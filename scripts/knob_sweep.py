@@ -69,12 +69,13 @@ def main():
             best = min(best, (tn - t8) * 1e3 / (n - 8))
         return best
 
-    for th in (8, 16, 32):
-        for sb in (256, 512, 1024):
+    for rep in range(3):
+        for th, sb in ((8, 256), (16, 512), (32, 256), (8, 512)):
             cfg = RenderConfig(tile_h=th, strip_batch=sb)
             ms = measure(cfg)
             print(
-                f"tile_h={th:2d} strip_batch={sb:4d}  {ms:7.3f} ms/frame",
+                f"rep{rep} tile_h={th:2d} strip_batch={sb:4d}  "
+                f"{ms:7.3f} ms/frame",
                 flush=True,
             )
 
