@@ -69,8 +69,15 @@ def main():
             best = min(best, (tn - t8) * 1e3 / (n - 8))
         return best
 
+    import bench
+    h = bench.chip_health()
+    print(
+        f"chip health: {h['mxu_tflops']:.1f} Tflop/s, "
+        f"{h['gather_ns_per_row']:.1f} ns/row",
+        flush=True,
+    )
     for rep in range(3):
-        for th, sb in ((8, 256), (16, 512), (32, 256), (8, 512)):
+        for th, sb in ((16, 512), (8, 256), (32, 256)):
             cfg = RenderConfig(tile_h=th, strip_batch=sb)
             ms = measure(cfg)
             print(
@@ -78,6 +85,8 @@ def main():
                 f"{ms:7.3f} ms/frame",
                 flush=True,
             )
+    ms = measure(RenderConfig(), pipeline="occlusion")
+    print(f"occlusion default cfg  {ms:7.3f} ms/frame", flush=True)
 
 
 if __name__ == "__main__":

@@ -282,3 +282,44 @@ class TestConfigValidation:
     def test_bad_size(self):
         with pytest.raises(ValueError, match="frame size"):
             RenderConfig(width=0)
+
+
+class TestIncidenceCapOverflow:
+    def test_cap_overflow_flagged_and_deterministic(self, head_model):
+        """A tiny global incidence cap drops coverage deterministically
+        (generation order) and raises the overflow flag; two renders are
+        bit-identical."""
+        from tiny_renderer_tpu import Scene
+        from tiny_renderer_tpu.config import RenderConfig as RC
+
+        cfg = RC(width=96, height=96, tile_h=8, max_incidences=64)
+        scene = Scene(head_model, "default", cfg, backend="pallas_interpret")
+        scene.render()
+        f1 = scene.get_frame_buffer().copy()
+        assert scene.overflowed is True
+        scene.render()
+        f2 = scene.get_frame_buffer()
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_no_overflow_has_full_coverage_parity(self, head_model):
+        """The same scene without the cap renders more coverage (the cap
+        really dropped something) and does not flag."""
+        from tiny_renderer_tpu import Scene
+        from tiny_renderer_tpu.config import RenderConfig as RC
+
+        capped = Scene(
+            head_model, "default",
+            RC(width=96, height=96, tile_h=8, max_incidences=64),
+            backend="pallas_interpret",
+        )
+        full = Scene(
+            head_model, "default",
+            RC(width=96, height=96, tile_h=8),
+            backend="pallas_interpret",
+        )
+        capped.render()
+        zc = (capped.get_z_buffer() > 0).sum()
+        full.render()
+        zf = (full.get_z_buffer() > 0).sum()
+        assert full.overflowed is False
+        assert zf > zc  # the cap really dropped coverage
