@@ -41,6 +41,8 @@ class RenderConfig:
 
     # Raster tiling (TPU-side knobs; no reference equivalent — the reference
     # scans each triangle's bounding box serially, src/scene.rs:240-241).
+    # tile_h x strip_batch swept on hardware (scripts/knob_sweep.py,
+    # same-state repeats): (16, 512) best; 8 and 32 equal or worse.
     tile_h: int = 16
     tile_w: int = 128
     # Global cap on (tile, triangle) incidences in the CSR binning; None =
