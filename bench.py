@@ -142,8 +142,8 @@ def chip_health():
 
     Burst marginals (difference of two lax.scan lengths, jittered inputs)
     — the ~31 ms tunnel dispatch RTT would otherwise dominate.  The chip
-    is bimodal (the SAME binary measured a 5.0 and a 137 ms headline an
-    hour apart); recording the probe alongside the headline makes every
+    is multi-state (the SAME binary measured 5.0, 6.7, and 137 ms
+    headlines hours apart); recording the probe alongside the headline makes every
     bench self-interpreting.  NOTE: gathers from much larger tables
     (e.g. 64 MB) run ~35x slower in EVERY state on this chip — the probe
     must use renderer-sized tables to track the renderer's regime."""
@@ -156,21 +156,24 @@ def chip_health():
         # Every step's result folds into the carry (a cheap scalar reduce):
         # no step can be dead-code-eliminated and no big per-step output is
         # materialized.
-        def burst(n):
+        def burst(n, seed):
             def body(c, k):
                 # Full-result reduce: cheap next to the op being probed,
                 # and XLA can neither narrow nor skip any step.
-                return c + jnp.sum(f(k, *args)), None
+                return c + jnp.sum(f(k + seed, *args)), None
             c, _ = jax.lax.scan(
-                body, jnp.float32(0), jnp.arange(n, dtype=jnp.int32)
+                body, jnp.float32(0) + seed, jnp.arange(n, dtype=jnp.int32)
             )
             return c
 
+        # Every timed call gets a fresh seed operand: the tunnel runtime
+        # dedupes executions with bit-identical inputs (CLAUDE.md), which
+        # would collapse the marginal to ~0.
         lo = jax.jit(functools.partial(burst, n_lo))
         hi = jax.jit(functools.partial(burst, n_hi))
-        np.asarray(lo()); np.asarray(hi())
-        t0 = time.perf_counter(); np.asarray(lo()); t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter(); np.asarray(hi()); t_hi = time.perf_counter() - t0
+        np.asarray(lo(jnp.int32(1))); np.asarray(hi(jnp.int32(2)))
+        t0 = time.perf_counter(); np.asarray(lo(jnp.int32(3))); t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter(); np.asarray(hi(jnp.int32(4))); t_hi = time.perf_counter() - t0
         return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
     x = jnp.asarray(

@@ -1,7 +1,12 @@
-"""Sweep raster_group x strip_len on hardware (diablo shadow headline).
+"""On-hardware knob-sweep harness (diablo shadow headline by default).
 
-Burst-marginal protocol identical to bench.py (dispatch latency cancels,
-inputs jittered against the runtime's execution dedupe).
+Edit the loop at the bottom to sweep whichever RenderConfig knobs are
+under investigation (past sweeps: raster_group, strip_len, idx_int16,
+strip_pack_words, tile_h x strip_batch — results recorded in config.py
+comments and BASELINE.md).  Burst-marginal protocol identical to bench.py
+(dispatch latency cancels, inputs jittered against the runtime's
+execution dedupe); prints the chip-health probe first so runs are only
+compared same-state.
 
 Usage: scripts/tpu_retry.sh /tmp/sweep.log x python scripts/knob_sweep.py
 """

@@ -167,9 +167,9 @@ def test_writeback_and_idx_dtype_variants_identical(head_scene_data, camera, pip
     base = RenderConfig(width=128, height=128)
     ref = make_frame_fn(pipeline, base, backend="pallas_interpret")(gj, tj, *cam)
     for cfg in (
-        dataclasses.replace(base, idx_int16=False),
+        dataclasses.replace(base, idx_int16=True),
         dataclasses.replace(base, strip_pack_words=False),
-        dataclasses.replace(base, idx_int16=False, strip_pack_words=False),
+        dataclasses.replace(base, idx_int16=True, strip_pack_words=False),
     ):
         out = make_frame_fn(pipeline, cfg, backend="pallas_interpret")(gj, tj, *cam)
         np.testing.assert_array_equal(

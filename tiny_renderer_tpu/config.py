@@ -47,7 +47,8 @@ class RenderConfig:
     tile_w: int = 128
     # Global cap on (tile, triangle) incidences in the CSR binning; None =
     # max(4*T, 4096) — generous vs the typical ~1.3 incidences/triangle.
-    # Overflow (flagged) drops trailing tiles' coverage deterministically.
+    # Overflow (flagged) drops the tail of the incidence generation order
+    # (triangle-major) deterministically.
     max_incidences: int | None = None
     # Max tile span of one triangle's bbox (rows x cols of tiles); coverage
     # beyond is dropped deterministically.  Defaults allow a 128 x 512 px

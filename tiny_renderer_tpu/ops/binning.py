@@ -51,6 +51,26 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def compact_scatter(mask, values, out_len, fill):
+    """Front-compact values[mask] into an (out_len,) array, fill elsewhere.
+
+    The cheap deterministic compaction idiom this codebase standardizes
+    on (a flat cumsum is ~free and the scatter positions are monotone, so
+    the scatter engine runs at near-sequential bandwidth — ~13x cheaper
+    than jnp.nonzero at 640k on the dev chip).  Entries beyond out_len
+    (mask count overflow) are dropped deterministically in input order.
+    Used by the binning incidence compaction and the strip-shade
+    covered-strip compaction.
+    """
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask, pos, out_len)
+    return (
+        jnp.full((out_len,), fill, values.dtype)
+        .at[tgt]
+        .set(values, mode="drop")
+    )
+
+
 def record_lanes(spec) -> int:
     n = BASE_LANES
     for name, comps, mode in spec or ():
@@ -179,18 +199,11 @@ def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     okf = ok.reshape(-1)
     total = jnp.sum(okf, dtype=jnp.int32)
     # Compact the ~1.3 real incidences/triangle out of the (T, msy, msx)
-    # candidate grid BEFORE sorting: a flat cumsum + one monotone scatter is
-    # near-free, and the sort then runs on cap (~4T) keys instead of the
-    # full 32T grid (~8x smaller; the sort dominated the binning stage).
-    # On cap overflow the tail is dropped in generation order (triangle-
-    # major) — deterministic, flagged via `overflowed` like before.
-    pos = jnp.cumsum(okf.astype(jnp.int32)) - 1
-    tgt = jnp.where(okf, pos, cap)
-    compacted = (
-        jnp.full((cap,), 2**31 - 1, jnp.int32)
-        .at[tgt]
-        .set(key.reshape(-1), mode="drop")
-    )
+    # candidate grid BEFORE sorting: the sort then runs on cap (~4T) keys
+    # instead of the full 32T grid (~8x smaller; the sort dominated the
+    # binning stage).  On cap overflow the tail is dropped in generation
+    # order (triangle-major) — deterministic, flagged via `overflowed`.
+    compacted = compact_scatter(okf, key.reshape(-1), cap, 2**31 - 1)
     keys_sorted = jnp.sort(compacted)  # (cap,)
 
     # Per-tile ranges: starts[t] = first incidence of tile t, clamped to cap.

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import mathlib as ml
-from ..ops.binning import bin_triangles
+from ..ops.binning import bin_triangles, compact_scatter
 from ..ops.raster_jnp import rasterize_jnp
 from ..ops.raster_pallas import rasterize_pallas
 from ..ops.vertex import triangle_setup
@@ -382,12 +382,8 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
     # Uncovered strips scatter out of bounds (dropped); the padded tail
     # stays at the n_strips fill, which batches clamp and mask.
     comp_len = (-(-n_strips // B)) * B
-    pos = jnp.cumsum(cov.astype(jnp.int32)) - 1
-    scatter_to = jnp.where(cov, pos, comp_len)
-    comp = (
-        jnp.full((comp_len,), n_strips, jnp.int32)
-        .at[scatter_to]
-        .set(jnp.arange(n_strips, dtype=jnp.int32), mode="drop")
+    comp = compact_scatter(
+        cov, jnp.arange(n_strips, dtype=jnp.int32), comp_len, n_strips
     )
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, SL), 1)
