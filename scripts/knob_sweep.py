@@ -81,17 +81,14 @@ def main():
         f"{h['gather_ns_per_row']:.1f} ns/row",
         flush=True,
     )
-    for rep in range(3):
-        for th, sb in ((16, 512), (8, 256), (32, 256)):
-            cfg = RenderConfig(tile_h=th, strip_batch=sb)
+    for rep in range(4):
+        for bc in (True, False):
+            cfg = RenderConfig(binning_compact=bc)
             ms = measure(cfg)
             print(
-                f"rep{rep} tile_h={th:2d} strip_batch={sb:4d}  "
-                f"{ms:7.3f} ms/frame",
+                f"rep{rep} binning_compact={int(bc)}  {ms:7.3f} ms/frame",
                 flush=True,
             )
-    ms = measure(RenderConfig(), pipeline="occlusion")
-    print(f"occlusion default cfg  {ms:7.3f} ms/frame", flush=True)
 
 
 if __name__ == "__main__":

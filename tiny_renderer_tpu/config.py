@@ -45,6 +45,13 @@ class RenderConfig:
     # same-state repeats): (16, 512) best; 8 and 32 equal or worse.
     tile_h: int = 16
     tile_w: int = 128
+    # Compact real incidences before the binning sort (T-sized per-
+    # triangle prefix + monotone scatter; the sort then runs on ~4T keys
+    # instead of the 32T candidate grid).  Measured SLOWER on the dev
+    # chip (interleaved same-state reps: 6.76 vs 4.9-5.1 ms headline —
+    # the 32T-element scatter costs far more than the 8x-smaller sort
+    # saves); default False keeps the full-grid sort.
+    binning_compact: bool = False
     # Global cap on (tile, triangle) incidences in the CSR binning; None =
     # max(4*T, 4096) — generous vs the typical ~1.3 incidences/triangle.
     # Overflow (flagged) drops the tail of the incidence generation order

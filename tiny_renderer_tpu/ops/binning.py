@@ -7,16 +7,16 @@ screen-clamped bbox overlaps.  The Pallas kernel then only evaluates
 (tile, triangle) pairs that can actually produce coverage — the blockwise
 decomposition that bounds the O(pixels x triangles) product (SURVEY.md §5.7).
 
-Compaction strategy (v4): incidence-key sort into a CSR list.  Each triangle
-contributes up to max_span_y * max_span_x (tile, triangle) incidences; the
-real incidences (~1.3/triangle) are first compacted out of the candidate
-grid (flat cumsum + one monotone scatter, near-free), the packed keys
-`tile_id * K + tri_id` are sorted in one (incidence_cap,) sort (~8x smaller
-than sorting the full candidate grid), per-tile ranges are recovered with
-searchsorted, and the records are gathered ONCE into (tile, triangle)-sorted
-CSR order — the
+Strategy: incidence-key sort into a CSR list.  Each triangle contributes
+up to max_span_y * max_span_x (tile, triangle) incidences; the packed keys
+`tile_id * K + tri_id` of the full candidate grid are sorted in one
+(T * span,) sort, per-tile ranges are recovered with searchsorted, and the
+records are gathered ONCE into (tile, triangle)-sorted CSR order — the
 raster kernel keeps the flat array resident in VMEM and walks each tile's
-[starts[t], starts[t+1]) slice.  Per-tile list length is unbounded (dense
+[starts[t], starts[t+1]) slice.  (config.binning_compact instead compacts
+the ~1.3 real incidences/triangle before an 8x-smaller sort — measured
+~1.8 ms SLOWER on the dev chip, where the 32T-element scatter dwarfs the
+sort savings; kept as a knob for other hardware.)  Per-tile list length is unbounded (dense
 regions just own longer slices), which removed the per-tile-capacity
 overflow class entirely; the only caps are:
 
@@ -59,8 +59,10 @@ def compact_scatter(mask, values, out_len, fill):
     the scatter engine runs at near-sequential bandwidth — ~13x cheaper
     than jnp.nonzero at 640k on the dev chip).  Entries beyond out_len
     (mask count overflow) are dropped deterministically in input order.
-    Used by the binning incidence compaction and the strip-shade
-    covered-strip compaction.
+    Used by the strip-shade covered-strip compaction; the binning
+    incidence compaction uses the same scatter but derives positions from
+    a T-sized per-triangle prefix (a full-grid cumsum measured ~0.85
+    ms/pass on the dev chip).
     """
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     tgt = jnp.where(mask, pos, out_len)
@@ -200,11 +202,29 @@ def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     total = jnp.sum(okf, dtype=jnp.int32)
     # Compact the ~1.3 real incidences/triangle out of the (T, msy, msx)
     # candidate grid BEFORE sorting: the sort then runs on cap (~4T) keys
-    # instead of the full 32T grid (~8x smaller; the sort dominated the
-    # binning stage).  On cap overflow the tail is dropped in generation
-    # order (triangle-major) — deterministic, flagged via `overflowed`.
-    compacted = compact_scatter(okf, key.reshape(-1), cap, 2**31 - 1)
-    keys_sorted = jnp.sort(compacted)  # (cap,)
+    # instead of the full 32T grid (~8x smaller).  Scatter positions come
+    # from a T-sized exclusive cumsum of per-triangle incidence counts
+    # plus each slot's local rank — a full 32T-element cumsum measured
+    # ~0.85 ms/pass on the dev chip and erased the sort savings.  On cap
+    # overflow the tail is dropped in generation order (triangle-major)
+    # — deterministic, flagged via `overflowed`.
+    if config.binning_compact:
+        counts = jnp.where(valid, (span_y + 1) * (span_x + 1), 0)
+        base = jnp.cumsum(counts) - counts  # exclusive prefix
+        local = (
+            dy[None, :, None] * (span_x + 1)[:, None, None] + dx[None, None, :]
+        )
+        tgt = jnp.where(
+            ok, base[:, None, None] + local, jnp.int32(cap)
+        ).reshape(-1)
+        compacted = (
+            jnp.full((cap,), 2**31 - 1, jnp.int32)
+            .at[tgt]
+            .set(key.reshape(-1), mode="drop")
+        )
+        keys_sorted = jnp.sort(compacted)  # (cap,)
+    else:
+        keys_sorted = jnp.sort(key.reshape(-1))  # full candidate grid (v3)
 
     # Per-tile ranges: starts[t] = first incidence of tile t, clamped to cap.
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) * K
