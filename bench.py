@@ -186,6 +186,11 @@ def chip_health():
         n_lo=8, n_hi=56,
     )
     tflops = 2 * 2048**3 / mm / 1e12
+    # The ~48-step matmul marginal (~5 ms at peak) can still drown in
+    # tunnel-RTT jitter; an impossible reading means exactly that.  The
+    # gather number is the meaningful one for this renderer anyway.
+    if not (0.05 <= tflops <= 400.0):
+        tflops = None
 
     tbl = jnp.asarray(rng.random(1 << 20).astype(np.float32))  # 4 MB
     idx = jnp.asarray(rng.integers(0, 1 << 20, 640_000).astype(np.int32))
@@ -212,8 +217,10 @@ def main():
     print("TUNNEL-LIVE", file=sys.stderr, flush=True)
 
     health = chip_health()
+    mxu = health["mxu_tflops"]
+    mxu_s = f"{mxu:.1f} Tflop/s" if mxu is not None else "unreliable (RTT jitter)"
     print(
-        f"# chip health: {health['mxu_tflops']:.1f} Tflop/s MXU, "
+        f"# chip health: {mxu_s} MXU, "
         f"{health['gather_ns_per_row']:.1f} ns/row gather "
         f"(healthy dev chip: ~179 Tflop/s, ~7.3 ns/row; the tunnel chip is "
         f"BIMODAL — the same binary has measured 5.0 and 137 ms headlines "
@@ -246,7 +253,11 @@ def main():
                 "value": round(headline["ms_per_frame"], 4),
                 "unit": "ms",
                 "vs_baseline": round(TARGET_MS / headline["ms_per_frame"], 4),
-                "chip_mxu_tflops": round(health["mxu_tflops"], 1),
+                "chip_mxu_tflops": (
+                    round(health["mxu_tflops"], 1)
+                    if health["mxu_tflops"] is not None
+                    else None
+                ),
                 "chip_gather_ns_per_row": round(health["gather_ns_per_row"], 1),
             }
         )
