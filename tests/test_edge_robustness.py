@@ -139,6 +139,28 @@ def test_coord_overflow_triangle_flagged_and_dropped():
     assert bool(setup["valid"][0]) and not bool(setup["valid"][1])
 
 
+def test_coord_overflow_int32_min_coords_flagged():
+    """Coords at exactly the projection singularity (w'=0 -> inf ->
+    INT32_MIN after the saturating cast) must also be caught: abs() of
+    INT32_MIN wraps negative, so the envelope uses range compares."""
+    from tiny_renderer_tpu.ops import mathlib as ml
+    from tiny_renderer_tpu.ops.vertex import triangle_setup
+
+    geom = _overflow_geom()
+    geom["positions"][5, 2] = 6.0  # exactly w' = 0 -> raster coords inf
+    uni = ml.default_prepare(
+        CFG,
+        np.array([0, 0, 1], np.float32),
+        np.array([0, 0, 1], np.float32),
+        np.zeros(3, np.float32),
+        np.array([0, 1, 0], np.float32),
+        np,
+    )
+    setup = triangle_setup(geom, uni, CFG, cull=False, xp=np)
+    assert bool(setup["coord_overflow"])
+    assert not bool(setup["valid"][1])
+
+
 def test_coord_overflow_surfaced_in_frame_output():
     geom = jax.tree.map(jnp.asarray, _overflow_geom())
     tex = jax.tree.map(jnp.asarray, make_textures(16))

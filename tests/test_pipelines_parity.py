@@ -124,10 +124,14 @@ def test_compact_shade_matches_planes(head_scene_data, camera, pipeline):
         return (np.asarray(a["frame"]) != np.asarray(b["frame"])).any(axis=-1).mean()
 
     assert mismatch(compact, planes) <= 0.003
-    # Coverage must agree exactly (integer-exact edge tests).
+    # Coverage must agree exactly (integer-exact edge tests).  Compare the
+    # rasterized z coverage, not frame non-blackness: a covered pixel can
+    # legitimately shade to (0,0,0) (grazing light saturates to black).
+    from tiny_renderer_tpu.ops.mathlib import F32_MIN
+
     np.testing.assert_array_equal(
-        np.asarray(compact["frame"]).any(axis=-1) & True,
-        np.asarray(planes["frame"]).any(axis=-1) & True,
+        np.asarray(compact["z"]) > F32_MIN,
+        np.asarray(planes["z"]) > F32_MIN,
     )
 
     # Tiny compaction batches force the full lax.cond cascade; same graph

@@ -85,8 +85,11 @@ def triangle_setup(geom, uniforms, config, *, matrix_key="vpmv", cull=True, need
     # whose products would silently wrap — mark such triangles invalid and
     # surface the event as coord_overflow (the reference's f32 cross product
     # merely loses precision there; scene.rs:174-197).
+    # Range compare, NOT abs: abs(INT32_MIN) wraps to INT32_MIN (negative)
+    # and would pass the envelope for maximally-overflowing coords.
     in_exact = xp.all(
-        (xp.abs(rx) <= EXACT_COORD_MAX) & (xp.abs(ry) <= EXACT_COORD_MAX),
+        (rx >= -EXACT_COORD_MAX) & (rx <= EXACT_COORD_MAX)
+        & (ry >= -EXACT_COORD_MAX) & (ry <= EXACT_COORD_MAX),
         axis=1,
     )
 

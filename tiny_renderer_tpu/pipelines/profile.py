@@ -70,11 +70,16 @@ def _prefix_fn(pipeline, config, backend, stage):
             uniforms = ml.default_prepare(
                 config, light_direction, look_from, look_at, up, jnp
             )
-        kspec = (
-            kernel_varying_spec(pipeline, textures)
-            if backend != "jnp"
-            else VARYING_SPECS[pipeline]
-        )
+        # Mirror render_frame's spec selection exactly: the strip-compacted
+        # shade (default on kernel backends) bins/rasterizes with NO
+        # varying lanes — profiling the varying-plane spec here would
+        # inflate the bin/raster prefixes and understate the shade delta.
+        if backend != "jnp" and config.compact_shade:
+            kspec = ()
+        elif backend != "jnp":
+            kspec = kernel_varying_spec(pipeline, textures)
+        else:
+            kspec = VARYING_SPECS[pipeline]
         setups.append(
             (triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp), kspec)
         )
@@ -94,11 +99,18 @@ def _prefix_fn(pipeline, config, backend, stage):
             return _checksum(*outs)
 
         # stage == "raster": run both passes' rasters, skip shading.
+        # Match render_frame's emit flags: the shadow pass is z-only; the
+        # camera pass on the compact path emits idx only (z unwritten).
         outs = []
         for i, (s, sp) in enumerate(setups):
-            emit_idx = not (spec.two_pass and i == 0)
-            z, idx, varys, _ = _rasterize(s, config, backend, spec=sp, emit_idx=emit_idx)
-            outs.append(z)
+            shadow_pass = spec.two_pass and i == 0
+            compact = backend != "jnp" and config.compact_shade
+            z, idx, varys, _ = _rasterize(
+                s, config, backend, spec=sp,
+                emit_idx=not shadow_pass,
+                emit_z=shadow_pass or not compact,
+            )
+            outs.append(z if z is not None else idx)
             if varys is not None:
                 outs.append(varys[0])
         return _checksum(*outs)
@@ -180,9 +192,12 @@ def stage_breakdown(scene, iters: int = 12):
             / (iters - k_small)
         )
 
-    # Frame fetch (device->host blit), chunked transfer path.
+    # Frame fetch (device->host blit), chunked transfer path.  Completion
+    # barrier is a tiny host fetch — block_until_ready is unreliable over
+    # the tunnel (CLAUDE.md), and an incomplete render would otherwise be
+    # absorbed into the first timed fetch.
     scene.render()
-    scene.block_until_ready()
+    np.asarray(scene._out["frame"][0, 0])
     t0 = time.perf_counter()
     for _ in range(max(2, iters // 2)):
         scene.get_frame_buffer()
