@@ -231,3 +231,26 @@ def test_run_interactive_through_x11_viewer(small_scene):
     assert ("close_display",) in fake.calls
     # The held 'd' moved the camera: later blits differ from the first.
     assert not np.array_equal(fake.put_images[0], fake.put_images[2])
+
+
+def test_real_libx11_binding_loads_headless():
+    """The image ships libX11.so.6: the REAL ctypes binding must load and
+    declare every prototype, and X11Viewer must fail cleanly (no crash,
+    no window) with no display available."""
+    import os
+
+    from tiny_renderer_tpu.viewer_x11 import load_xlib
+
+    try:
+        lib = load_xlib()
+    except OSError:
+        pytest.skip("libX11 not present on this host")
+    # All prototypes resolved (would raise AttributeError otherwise).
+    for name in ("XOpenDisplay", "XCreateSimpleWindow", "XPutImage",
+                 "XNextEvent", "XLookupKeysym", "XSetWMProtocols"):
+        assert getattr(lib, name) is not None
+    env = os.environ.get("DISPLAY")
+    if env:
+        pytest.skip("a real display exists; headless failure not testable")
+    with pytest.raises(RuntimeError, match="no display"):
+        X11Viewer(32, 32, lib=lib)
