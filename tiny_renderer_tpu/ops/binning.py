@@ -33,7 +33,6 @@ indices ascend, preserving the reference's polygon-order tie-break
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

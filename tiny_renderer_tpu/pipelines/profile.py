@@ -21,7 +21,6 @@ level that perf decisions here need.
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
