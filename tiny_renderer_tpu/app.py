@@ -298,7 +298,13 @@ def run_sequence(scene: Scene, args) -> np.ndarray:
 
 
 def main(argv=None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    # The reference silently ignores unrecognized argv tokens
+    # (src/main.rs:16-26); we ignore them too but say so (DESIGN.md
+    # divergence #9).
+    args, unknown = build_arg_parser().parse_known_args(argv)
+    if unknown:
+        print(f"ignoring unrecognized arguments: {' '.join(unknown)}",
+              file=sys.stderr)
     width, height = args.size
 
     model = load_model(args.asset_path)

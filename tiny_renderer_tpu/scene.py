@@ -38,17 +38,26 @@ class Scene:
             )
         self.config = config or RenderConfig()
         self.pipeline_name = pipeline_name
+        self.backend = backend
         self.model = model
 
         mesh = model.mesh
-        self._geom = {
-            "positions": jnp.asarray(mesh.positions),
-            "tex_coords": jnp.asarray(mesh.tex_coords),
-            "normals": jnp.asarray(mesh.normals),
-            "pos_idx": jnp.asarray(mesh.pos_idx),
-            "tex_idx": jnp.asarray(mesh.tex_idx),
-            "normal_idx": jnp.asarray(mesh.normal_idx),
-        }
+        from .ops.vertex import expand_geometry
+
+        # Pre-expand per-triangle attributes once: the index arrays are
+        # frame-invariant, so the per-frame vertex stage skips ~60k gather
+        # rows (measured ~0.3 ms/frame on the dev chip's gather floor).
+        self._geom = expand_geometry(
+            {
+                "positions": jnp.asarray(mesh.positions),
+                "tex_coords": jnp.asarray(mesh.tex_coords),
+                "normals": jnp.asarray(mesh.normals),
+                "pos_idx": jnp.asarray(mesh.pos_idx),
+                "tex_idx": jnp.asarray(mesh.tex_idx),
+                "normal_idx": jnp.asarray(mesh.normal_idx),
+            },
+            jnp,
+        )
         from .pipelines.frame import prepack_textures
 
         self._textures = prepack_textures(
@@ -107,7 +116,10 @@ class Scene:
         from .pipelines.frame import make_burst_fn
         from .utils.transfer import fetch
 
-        burst = make_burst_fn(self.pipeline_name, self.config, keep_frames=True)
+        burst = make_burst_fn(
+            self.pipeline_name, self.config, backend=self.backend,
+            keep_frames=True,
+        )
         out = burst(
             self._geom,
             self._textures,
