@@ -72,3 +72,27 @@ def camera():
     look_at = np.zeros(3, np.float32)
     up = np.array([0.0, 1.0, 0.0], np.float32)
     return light, look_from, look_at, up
+
+
+# Orbit-sweep poses (camera_deg, light_deg) for angle-parametrized parity:
+# includes oblique/grazing light (the scripts/occlusion_locality.py stress
+# angles are the camera values; grazing light exercises shadow-index
+# saturation and off-axis occlusion probes).  The reference orbits both on
+# the full unit XZ circle (src/app.rs:200-207), so any angle is in-spec.
+ORBIT_POSES = (
+    (0.0, 70.0),
+    (25.0, -60.0),
+    (80.0, 15.0),
+    (160.0, 85.0),
+    (245.0, -80.0),
+)
+
+
+def pose_camera(cam_deg, light_deg):
+    """(light, look_from, look_at, up) from orbit angles in degrees
+    (src/app.rs:200-207 parameterization)."""
+    ca = np.deg2rad(np.float32(cam_deg))
+    la = np.deg2rad(np.float32(light_deg))
+    light = np.array([np.sin(la), 0.0, np.cos(la)], np.float32)
+    look_from = np.array([np.sin(ca), 0.0, np.cos(ca)], np.float32)
+    return light, look_from, np.zeros(3, np.float32), np.array([0.0, 1.0, 0.0], np.float32)

@@ -53,3 +53,15 @@ def test_fullsize_diablo(diablo_scene_data, camera, pipeline):
 @pytest.mark.parametrize("pipeline", ALL_PIPELINES)
 def test_fullsize_head(head_scene_data, camera, pipeline):
     _run(head_scene_data, camera, pipeline)
+
+
+from conftest import ORBIT_POSES, pose_camera
+
+
+@pytest.mark.parametrize(
+    "pose", ORBIT_POSES, ids=lambda p: f"cam{p[0]:.0f}_light{p[1]:.0f}"
+)
+def test_fullsize_diablo_shadow_orbit(diablo_scene_data, pose):
+    """The flagship config across the orbit sweep at full resolution —
+    grazing light exercises shadow-index saturation at real scale."""
+    _run(diablo_scene_data, pose_camera(*pose), "shadow")

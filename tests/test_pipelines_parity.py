@@ -54,6 +54,35 @@ def test_diablo_parity(diablo_scene_data, camera, pipeline):
     assert mismatch <= MISMATCH_BUDGET, f"{pipeline}: pixel mismatch {mismatch:.4%}"
 
 
+from conftest import ORBIT_POSES, pose_camera
+
+
+@pytest.mark.parametrize("pose", ORBIT_POSES, ids=lambda p: f"cam{p[0]:.0f}_light{p[1]:.0f}")
+@pytest.mark.parametrize("pipeline", ["phong", "shadow", "occlusion"])
+def test_orbit_sweep_parity(head_scene_data, pose, pipeline):
+    """Angle-parametrized oracle parity: grazing light and oblique camera
+    poses stress shadow-index saturation and the occlusion probe's
+    off-axis sample scatter — bugs a single fixed pose cannot catch."""
+    o, r = _render_pair(head_scene_data, pose_camera(*pose), pipeline, size=128)
+    mismatch = (o["frame"] != r["frame"]).any(axis=-1).mean()
+    assert mismatch <= MISMATCH_BUDGET, (
+        f"{pipeline}@{pose}: pixel mismatch {mismatch:.4%}"
+    )
+
+
+@pytest.mark.parametrize("pose", ORBIT_POSES[1::2], ids=lambda p: f"cam{p[0]:.0f}_light{p[1]:.0f}")
+@pytest.mark.parametrize("pipeline", ["shadow", "occlusion"])
+def test_orbit_sweep_strip_shade_parity(head_scene_data, pose, pipeline):
+    """The strip-compacted kernel path must hold the same budget across
+    poses (covered-strip geometry changes completely with the angle)."""
+    o, r = _render_pair(
+        head_scene_data, pose_camera(*pose), pipeline,
+        backend="pallas_interpret", size=64,
+    )
+    mismatch = (o["frame"] != r["frame"]).any(axis=-1).mean()
+    assert mismatch <= 0.01, f"{pipeline}@{pose}: pixel mismatch {mismatch:.4%}"
+
+
 @pytest.mark.parametrize("pipeline", ["phong", "shadow", "darboux", "specular", "occlusion"])
 def test_pallas_interpret_parity(head_scene_data, camera, pipeline):
     """Pallas (interpret mode on CPU) against the oracle on a small frame."""
@@ -68,6 +97,86 @@ def test_shadow_buffer_parity(head_scene_data, camera):
     # Shadow map z values: max-reduction over fragments; FMA tie flips don't
     # change a max over equal values, but 1-ulp z differences show as atol.
     np.testing.assert_allclose(o["shadow"], r["shadow"], rtol=1e-5, atol=1e-3)
+
+
+def test_pre_expanded_geometry_identical(head_scene_data, camera):
+    """expand_geometry (Scene's one-time attribute pre-gather) must not
+    change any output bit — it only hoists frame-invariant gathers."""
+    from tiny_renderer_tpu.ops.vertex import expand_geometry
+
+    geom, tex = head_scene_data
+    light, look_from, look_at, up = camera
+    cfg = RenderConfig(width=96, height=96, tri_block=32, tile_h=8)
+    gj = jax.tree.map(jnp.asarray, geom)
+    tj = jax.tree.map(jnp.asarray, tex)
+    args = (jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
+            jnp.asarray(up))
+    for backend in ("jnp", "pallas_interpret"):
+        fn = make_frame_fn("shadow", cfg, backend=backend)
+        a = fn(gj, tj, *args)
+        b = fn(expand_geometry(gj, jnp), tj, *args)
+        np.testing.assert_array_equal(np.asarray(a["frame"]), np.asarray(b["frame"]))
+        np.testing.assert_array_equal(np.asarray(a["z"]), np.asarray(b["z"]))
+        np.testing.assert_array_equal(np.asarray(a["shadow"]), np.asarray(b["shadow"]))
+
+
+@pytest.mark.parametrize("knob", ["csr_indirect", "strip_mask"])
+def test_layout_knobs_bit_identical(head_scene_data, camera, knob):
+    """csr_indirect and strip_mask are pure layout/traffic changes on the
+    kernel path: frames must be bit-identical with the knob flipped."""
+    import dataclasses
+
+    geom, tex = head_scene_data
+    light, look_from, look_at, up = camera
+    gj = jax.tree.map(jnp.asarray, geom)
+    tj = jax.tree.map(jnp.asarray, tex)
+    args = (jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
+            jnp.asarray(up))
+    base = RenderConfig(width=96, height=96, tri_block=32, tile_h=8)
+    frames = {}
+    for v in (False, True):
+        cfg = dataclasses.replace(base, **{knob: v})
+        fn = make_frame_fn("shadow", cfg, backend="pallas_interpret")
+        frames[v] = np.asarray(fn(gj, tj, *args)["frame"])
+    np.testing.assert_array_equal(frames[False], frames[True])
+
+
+def test_dedup_gather_exact():
+    """dedup_gather == plain gather for heavy-duplication, light-duplication
+    (unique-cap overflow -> fallback), and all-equal index patterns."""
+    from tiny_renderer_tpu.pipelines.shaders import dedup_gather
+
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.random(4096).astype(np.float32))
+    for idx_np in (
+        rng.integers(0, 64, size=(17, 24, 128)),       # ~64 unique << cap
+        rng.integers(0, 4096, size=(17, 24, 128)),     # ~unique > M/8: fallback
+        np.zeros((17, 4, 128), np.int64),              # degenerate all-equal
+    ):
+        idx = jnp.asarray(idx_np.astype(np.int32))
+        expect = np.asarray(table)[idx_np]
+        got = np.asarray(jax.jit(dedup_gather)(table, idx))
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_occlusion_dedup_bit_identical(head_scene_data, camera):
+    """occlusion_dedup collapses duplicate fetches of equal values — the
+    frame must be bit-identical with the knob flipped."""
+    import dataclasses
+
+    geom, tex = head_scene_data
+    light, look_from, look_at, up = camera
+    gj = jax.tree.map(jnp.asarray, geom)
+    tj = jax.tree.map(jnp.asarray, tex)
+    args = (jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
+            jnp.asarray(up))
+    base = RenderConfig(width=96, height=96, tri_block=32, tile_h=8)
+    frames = {}
+    for v in (False, True):
+        cfg = dataclasses.replace(base, occlusion_dedup=v)
+        fn = make_frame_fn("occlusion", cfg, backend="pallas_interpret")
+        frames[v] = np.asarray(fn(gj, tj, *args)["frame"])
+    np.testing.assert_array_equal(frames[False], frames[True])
 
 
 def test_two_runs_bit_identical(head_scene_data, camera):

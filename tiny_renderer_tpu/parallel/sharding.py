@@ -56,24 +56,31 @@ def make_row_mesh(devices=None, batch: int = 1):
     return Mesh(arr, axis_names=("batch", "rows"))
 
 
-def _raster_shard(setup, config, rows_per_shard, y0, backend, spec=(), emit_idx=True):
+def _raster_shard(setup, config, rows_per_shard, y0, backend, spec=(),
+                  emit_idx=True, emit_z=True, emit_strips=0):
     """Rasterize this shard's row slab with the selected backend.
 
     Pallas path: bins against a LOCAL config window (rows_per_shard tall)
     with the shard's tile-row offset, so each device only evaluates its own
     (tile, triangle) incidences; the kernel writes local row-slab targets.
+    emit_z=False skips the z target's HBM write (the strip-compacted shade
+    consumes idx only — same strategy as the single-device path,
+    frame._rasterize).
     """
     W = config.width
     if backend == "jnp":
         z, idx = rasterize_jnp(setup, rows_per_shard, W, config.tri_block, y_offset=y0)
-        return z, idx, None, jnp.asarray(False)
+        return z, idx, None, None, jnp.asarray(False)
     local_cfg = dataclasses.replace(config, height=rows_per_shard)
     row_off = y0 // config.tile_h
-    csr, starts, overflowed = bin_triangles(setup, local_cfg, spec, row_tile_offset=row_off)
-    z, idx, varys = rasterize_pallas(
-        csr,
+    records, tris, starts, overflowed = bin_triangles(
+        setup, local_cfg, spec, row_tile_offset=row_off
+    )
+    z, idx, varys, strips = rasterize_pallas(
+        records,
         starts,
         jnp.reshape(row_off, (1,)).astype(jnp.int32),
+        tris,
         idx_dtype=_idx_dtype(setup, local_cfg),
         tile_h=local_cfg.tile_h,
         tile_w=local_cfg.tile_w,
@@ -81,20 +88,30 @@ def _raster_shard(setup, config, rows_per_shard, y0, backend, spec=(), emit_idx=
         tiles_x=local_cfg.tiles_x,
         spec=spec,
         emit_idx=emit_idx,
+        emit_z=emit_z,
+        emit_strips=emit_strips,
         group=config.raster_group,
         interpret=(backend == "pallas_interpret"),
     )
     return (
-        z[:rows_per_shard, :W],
+        z[:rows_per_shard, :W] if z is not None else None,
         idx[:rows_per_shard, :W] if idx is not None else None,
         varys[:, :rows_per_shard, :W] if varys is not None else None,
+        strips[:rows_per_shard, : W // emit_strips] if strips is not None else None,
         overflowed,
     )
 
 
 def _render_shard(geom, textures, light_direction, look_from, look_at, up,
-                  *, pipeline, config, rows_per_shard, backend="jnp"):
-    """Render this device's row slab.  Runs inside shard_map with axis "rows"."""
+                  *, pipeline, config, rows_per_shard, backend="jnp",
+                  needs_z=True):
+    """Render this device's row slab.  Runs inside shard_map with axis "rows".
+
+    needs_z=False (static) drops the camera pass's z output — on the kernel
+    backends the z-target HBM write is skipped entirely (depth resolves in
+    VMEM scratch), mirroring frame.render_frame's single-device strategy;
+    the return tuple then omits z.
+    """
     spec = PIPELINES[pipeline]
     W = config.width
     d = jax.lax.axis_index("rows")
@@ -105,7 +122,7 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         setup1 = triangle_setup(
             geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
         )
-        shadow_local, _, _, ovf1 = _raster_shard(
+        shadow_local, _, _, _, ovf1 = _raster_shard(
             setup1, config, rows_per_shard, y0, backend, spec=(), emit_idx=False
         )
         ovf1 = ovf1 | setup1["coord_overflow"]
@@ -132,8 +149,11 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         kspec = ()
     else:
         kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
-    z, idx, varys, ovf2 = _raster_shard(
-        setup, config, rows_per_shard, y0, backend, spec=kspec
+    from ..pipelines.frame import _strip_mask_len
+
+    z, idx, varys, strips, ovf2 = _raster_shard(
+        setup, config, rows_per_shard, y0, backend, spec=kspec, emit_z=needs_z,
+        emit_strips=_strip_mask_len(config) if compact else 0,
     )
     ovf2 = ovf2 | setup["coord_overflow"]
 
@@ -145,6 +165,7 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         frame = _shade_strips(
             setup, idx, pipeline, uniforms, textures, config,
             shadow_full if spec.two_pass else None, y_offset=y0,
+            strip_mask=strips,
         )
     else:
         if varys is None:
@@ -160,6 +181,8 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
     # Per-shard overflow (binning caps / coord exactness drops), shape (1,)
     # so shard_map can concatenate over "rows"; callers any()-reduce it.
     overflow = jnp.reshape(ovf1 | ovf2, (1,))
+    if not needs_z:
+        return frame, shadow_local, overflow
     return frame, z, shadow_local, overflow
 
 
@@ -175,15 +198,19 @@ def _needs_pack(textures, pipeline):
     return _pk_needed(textures, pipeline)
 
 
-@functools.partial(jax.jit, static_argnames=("pipeline", "config", "mesh", "backend"))
+@functools.partial(
+    jax.jit, static_argnames=("pipeline", "config", "mesh", "backend", "needs_z")
+)
 def render_frame_sharded(
     geom, textures, light_direction, look_from, look_at, up, *, pipeline, config, mesh,
-    backend="jnp",
+    backend="jnp", needs_z=True,
 ):
     """Row-sharded single frame. Returns dict(frame, z, shadow) of full size.
 
     config.height must be divisible by the "rows" axis size (and, for the
-    pallas backends, each shard's rows by tile_h).
+    pallas backends, each shard's rows by tile_h).  needs_z=False skips the
+    camera pass's z target entirely (returned "z" is None) — the kernel
+    backends then never write it to HBM, matching the single-device path.
     """
     n_rows = mesh.shape["rows"]
     if config.height % n_rows != 0:
@@ -196,36 +223,42 @@ def render_frame_sharded(
 
     body = functools.partial(
         _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per,
-        backend=backend,
+        backend=backend, needs_z=needs_z,
     )
     rep = P()
-    frame, z, shadow, ovf = jax.shard_map(
+    row_plane = P("rows", None)
+    out_specs = (P("rows", None, None),) + (
+        (row_plane,) if needs_z else ()
+    ) + (row_plane, P("rows"))
+    outs = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, rep),
-        out_specs=(
-            P("rows", None, None),
-            P("rows", None),
-            P("rows", None),
-            P("rows"),
-        ),
+        out_specs=out_specs,
         check_vma=False,
     )(geom, textures, light_direction, look_from, look_at, up)
+    if needs_z:
+        frame, z, shadow, ovf = outs
+    else:
+        (frame, shadow, ovf), z = outs, None
     # Same contract as render_frame: any shard hitting a binning cap or the
     # coord exactness envelope is surfaced, not silently truncated.
     return {"frame": frame, "z": z, "shadow": shadow, "overflow": jnp.any(ovf)}
 
 
-@functools.partial(jax.jit, static_argnames=("pipeline", "config", "mesh", "backend"))
+@functools.partial(
+    jax.jit, static_argnames=("pipeline", "config", "mesh", "backend", "needs_z")
+)
 def render_batch_sharded(
     geom, textures, light_directions, look_froms, look_at, up, *, pipeline, config, mesh,
-    backend="jnp",
+    backend="jnp", needs_z=True,
 ):
     """Batch of frames on a 2D ("batch", "rows") mesh.
 
     light_directions/look_froms: (B, 3) sharded over "batch"; each frame's
     rows are sharded over "rows".  Returns frames (B, H, W, 3) plus a
     per-frame (B,) overflow flag (same contract as render_frame).
+    needs_z=False (the burst/animation posture) skips the z targets.
     """
     n_batch = mesh.shape["batch"]
     n_rows = mesh.shape["rows"]
@@ -243,23 +276,30 @@ def render_batch_sharded(
     def body(geom, textures, lights, froms, look_at, up):
         shard = functools.partial(
             _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per,
-            backend=backend,
+            backend=backend, needs_z=needs_z,
         )
-        frame, z, _, ovf = jax.vmap(
+        outs = jax.vmap(
             lambda l, f: shard(geom, textures, l, f, look_at, up)
         )(lights, froms)
-        return frame, z, ovf  # ovf: (B_local, 1), concatenated over "rows"
+        if needs_z:
+            frame, z, _, ovf = outs
+            return frame, z, ovf  # ovf: (B_local, 1), concatenated over "rows"
+        frame, _, ovf = outs
+        return frame, ovf
 
     rep = P()
-    frames, zs, ovfs = jax.shard_map(
+    frame_spec = P("batch", "rows", None, None)
+    z_spec = P("batch", "rows", None)
+    out_specs = (frame_spec,) + ((z_spec,) if needs_z else ()) + (P("batch", "rows"),)
+    outs = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(rep, rep, P("batch", None), P("batch", None), rep, rep),
-        out_specs=(
-            P("batch", "rows", None, None),
-            P("batch", "rows", None),
-            P("batch", "rows"),
-        ),
+        out_specs=out_specs,
         check_vma=False,
     )(geom, textures, light_directions, look_froms, look_at, up)
+    if needs_z:
+        frames, zs, ovfs = outs
+    else:
+        (frames, ovfs), zs = outs, None
     return {"frame": frames, "z": zs, "overflow": jnp.any(ovfs, axis=1)}
