@@ -162,14 +162,25 @@ class TestBinningAndPallas:
         )(jax.tree.map(jnp.asarray, geom))
         return cfg, s
 
-    def test_binning_counts_match_bruteforce(self):
+    @pytest.mark.parametrize("indirect", [False, True])
+    def test_binning_counts_match_bruteforce(self, indirect):
+        import dataclasses
+
         cfg, s = self._setup()
-        records, starts, overflow = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        cfg = dataclasses.replace(cfg, csr_indirect=indirect)
+        records, tris, starts, overflow = jax.jit(
+            lambda s: bin_triangles(s, cfg)
+        )(s)
         starts = np.asarray(starts)
         counts = starts[1:] - starts[:-1]
         sn = jax.tree.map(np.asarray, s)
         # Brute-force per-tile bbox overlap count + ascending-index invariant.
-        gidx = np.asarray(records)[:, 12].astype(int)
+        if indirect:
+            assert tris is not None
+            gidx = np.asarray(records)[np.asarray(tris)][:, 12].astype(int)
+        else:
+            assert tris is None
+            gidx = np.asarray(records)[:, 12].astype(int)
         for tile in range(cfg.num_tiles):
             ty, tx = divmod(tile, cfg.tiles_x)
             x_lo, x_hi = tx * cfg.tile_w, (tx + 1) * cfg.tile_w - 1
@@ -189,9 +200,9 @@ class TestBinningAndPallas:
         z_j, idx_j = jax.jit(
             lambda s: rasterize_jnp(s, cfg.height, cfg.width, cfg.tri_block)
         )(s)
-        records, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
-        z_p, idx_p, _ = rasterize_pallas(
-            records, counts,
+        records, tris, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        z_p, idx_p, _, _ = rasterize_pallas(
+            records, counts, None, tris,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,
             interpret=True,
@@ -213,11 +224,11 @@ class TestBinningAndPallas:
         winners and z must be bit-identical across group sizes (the tie
         rule must not depend on the ILP knob)."""
         cfg, s = self._setup()
-        records, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        records, tris, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
 
         def run(group):
-            z, idx, _ = rasterize_pallas(
-                records, counts,
+            z, idx, _, _ = rasterize_pallas(
+                records, counts, None, tris,
                 tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                 tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,
                 group=group, interpret=True,
@@ -234,21 +245,87 @@ class TestBinningAndPallas:
         """emit_z=False keeps the resolve in VMEM scratch: idx identical,
         z not emitted."""
         cfg, s = self._setup()
-        records, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
-        z, idx, _ = rasterize_pallas(
-            records, counts,
+        records, tris, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        z, idx, _, _ = rasterize_pallas(
+            records, counts, None, tris,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,
             interpret=True,
         )
-        z2, idx2, _ = rasterize_pallas(
-            records, counts,
+        z2, idx2, _, _ = rasterize_pallas(
+            records, counts, None, tris,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,
             emit_z=False, interpret=True,
         )
         assert z2 is None
         np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx))
+
+    def test_indirect_matches_gathered(self):
+        """csr_indirect is a pure layout change: z/idx bit-identical."""
+        import dataclasses
+
+        cfg, s = self._setup()
+        outs = {}
+        for indirect in (False, True):
+            c = dataclasses.replace(cfg, csr_indirect=indirect)
+            records, tris, counts, _ = jax.jit(
+                lambda s, c=c: bin_triangles(s, c)
+            )(s)
+            z, idx, _, _ = rasterize_pallas(
+                records, counts, None, tris,
+                tile_h=c.tile_h, tile_w=c.tile_w,
+                tiles_y=c.tiles_y, tiles_x=c.tiles_x,
+                interpret=True,
+            )
+            outs[indirect] = (np.asarray(z), np.asarray(idx))
+        np.testing.assert_array_equal(outs[False][0], outs[True][0])
+        np.testing.assert_array_equal(outs[False][1], outs[True][1])
+
+    def test_strip_mask_output(self):
+        """emit_strips emits per-strip max winning index agreeing with a
+        host-side reduction of the idx plane."""
+        cfg, s = self._setup()
+        records, tris, counts, _ = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        SL = 16
+        z, idx, _, strips = rasterize_pallas(
+            records, counts, None, tris,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            tiles_y=cfg.tiles_y, tiles_x=cfg.tiles_x,
+            emit_strips=SL, interpret=True,
+        )
+        assert strips is not None
+        idx_n = np.asarray(idx)
+        H, W = idx_n.shape
+        expect = idx_n.reshape(H, W // SL, SL).max(axis=2)
+        np.testing.assert_array_equal(np.asarray(strips), expect)
+
+    def test_idx_int16_late_cast_identical(self):
+        """int16 idx target (i32 scratch, one cast at the final store) must
+        match the i32 target exactly."""
+        import dataclasses
+
+        cfg, s = self._setup()
+        # Bin with 16-row tiles (the i16 sublane-tile requirement).
+        c16 = dataclasses.replace(cfg, tile_h=16)
+        records16, tris16, counts16, _ = jax.jit(
+            lambda s: bin_triangles(s, c16)
+        )(s)
+
+        def run16(dtype):
+            z, idx, _, _ = rasterize_pallas(
+                records16, counts16, None, tris16,
+                tile_h=16, tile_w=c16.tile_w,
+                tiles_y=c16.tiles_y, tiles_x=c16.tiles_x,
+                idx_dtype=dtype, interpret=True,
+            )
+            return np.asarray(z), np.asarray(idx)
+
+        z32, i32_ = run16("int32")
+        z16, i16_ = run16("int16")
+        assert i16_.dtype == np.int16
+        np.testing.assert_array_equal(z32, z16)
+        np.testing.assert_array_equal(i32_, i16_.astype(np.int32))
 
 
 class TestOverflowFlags:
@@ -262,7 +339,7 @@ class TestOverflowFlags:
         s = jax.jit(lambda g: triangle_setup(g, jax.tree.map(jnp.asarray, u),
                                              cfg, needs=(), xp=jnp))(
             jax.tree.map(jnp.asarray, geom))
-        _, _, overflow = jax.jit(lambda s: bin_triangles(s, cfg))(s)
+        _, _, _, overflow = jax.jit(lambda s: bin_triangles(s, cfg))(s)
         assert bool(overflow)
 
     def test_scene_overflow_property(self, head_model=None):

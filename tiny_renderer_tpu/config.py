@@ -39,6 +39,14 @@ class RenderConfig:
     # Specular pipeline constant (shader.rs:521).
     specular_scale: float = 0.6
 
+    # Collapse duplicate shadow-map indices in the occlusion probe's
+    # 17-sample gather before fetching (pipelines.shaders.dedup_gather) —
+    # exact by construction (equal indices fetch equal values; plain-gather
+    # fallback if a batch exceeds the unique cap).  Measured duplication is
+    # 16-26x per strip batch; whether the sort+permutation overhead beats
+    # the saved gather rows is hardware-dependent (knob_sweep).
+    occlusion_dedup: bool = False
+
     # Raster tiling (TPU-side knobs; no reference equivalent — the reference
     # scans each triangle's bounding box serially, src/scene.rs:240-241).
     # tile_h x strip_batch swept on hardware (scripts/knob_sweep.py,
@@ -52,6 +60,20 @@ class RenderConfig:
     # the 32T-element scatter costs far more than the 8x-smaller sort
     # saves); default False keeps the full-grid sort.
     binning_compact: bool = False
+    # Indirect CSR records: the kernel receives the compact (T, lanes)
+    # per-triangle record table plus the (cap,) sorted triangle-id list and
+    # indirects rec[tris[k]] inside the loop, instead of a pre-gathered
+    # (cap, lanes) CSR array.  Skips the cap-row record gather in binning
+    # and cuts the records' HBM write+DMA ~4x (cap defaults to 4T) for one
+    # extra VMEM scalar load per record.  Bit-identical output (tests pin
+    # it); default decided by hardware sweep.
+    csr_indirect: bool = True
+    # Emit the per-strip coverage plane (max winning index per strip_len-px
+    # strip) from the raster kernel, so the strip shade reads a (H, W/SL)
+    # plane instead of re-reading the full idx plane to find covered
+    # strips.  Requires width % strip_len == 0 and tile_w % strip_len == 0
+    # (silently unused otherwise).
+    strip_mask: bool = True
     # Global cap on (tile, triangle) incidences in the CSR binning; None =
     # max(4*T, 4096) — generous vs the typical ~1.3 incidences/triangle.
     # Overflow (flagged) drops the tail of the incidence generation order

@@ -146,11 +146,16 @@ def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     config then describes the LOCAL shard (config.tiles_y rows).  0 for the
     single-device full frame.
 
-    Returns:
-      csr_records: (incidence_cap, record_lanes(spec)) f32 — triangle records
-        in (tile, triangle) order
-      starts: (num_tiles + 1,) i32 — tile t owns csr_records[starts[t] :
-        starts[t+1]]
+    Returns (records, tris, starts, overflowed):
+      records: f32 triangle records.  config.csr_indirect=False: the
+        (incidence_cap, record_lanes(spec)) gathered CSR array in
+        (tile, triangle) order, tris is None.  csr_indirect=True: the
+        compact (T, record_lanes(spec)) per-triangle table; tris is the
+        (incidence_cap,) i32 sorted triangle-id list the kernel indirects
+        through — this skips the cap-row record gather here and shrinks
+        the HBM->VMEM record traffic ~4x (cap defaults to 4T).
+      starts: (num_tiles + 1,) i32 — tile t owns slot range [starts[t],
+        starts[t+1]) of the incidence list
       overflowed: () bool — a coverage cap was hit (span clamp, or total
         incidences beyond the cap: the tail of the generation order loses
         coverage)
@@ -208,11 +213,15 @@ def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     # overflow the tail is dropped in generation order (triangle-major)
     # — deterministic, flagged via `overflowed`.
     if config.binning_compact:
-        counts = jnp.where(valid, (span_y + 1) * (span_x + 1), 0)
+        # Clamped spans: the candidate grid only generates dy < msy, dx < msx,
+        # so counts/ranks must use min(span+1, max_span) — unclamped spans
+        # would inflate the exclusive prefix for span-clamped triangles,
+        # leaving sentinel gaps that push later triangles past the cap.
+        sy = jnp.minimum(span_y + 1, msy)
+        sx = jnp.minimum(span_x + 1, msx)
+        counts = jnp.where(valid, sy * sx, 0)
         base = jnp.cumsum(counts) - counts  # exclusive prefix
-        local = (
-            dy[None, :, None] * (span_x + 1)[:, None, None] + dx[None, None, :]
-        )
+        local = dy[None, :, None] * sx[:, None, None] + dx[None, None, :]
         tgt = jnp.where(
             ok, base[:, None, None] + local, jnp.int32(cap)
         ).reshape(-1)
@@ -235,5 +244,6 @@ def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     csr_tris = jnp.minimum(csr_tris, T - 1)  # sentinel slots -> harmless row
 
     records = pack_triangle_records(setup, spec, jnp)
-    csr_records = records[csr_tris]
-    return csr_records, starts, overflowed
+    if config.csr_indirect:
+        return records, csr_tris, starts, overflowed
+    return records[csr_tris], None, starts, overflowed

@@ -18,10 +18,27 @@ that tile (ops/binning.py) in two phases:
   are scalars in registers here, so interpolation is a handful of broadcast
   FMAs per plane — measured ~6x cheaper than gathering per pixel on TPU.
 
-The triangle records are a flat CSR array (ops/binning.py) resident in
-VMEM for the whole grid; each tile walks its [starts[t], starts[t+1])
-slice, so per-tile triangle counts are unbounded.  The pixel-space
-evaluation is dense f32 VPU work with zero HBM traffic inside the loops.
+The triangle records are either a flat CSR array in (tile, triangle) order
+(csr mode) or — config.csr_indirect — a compact (T, lanes) per-triangle
+table plus the (cap,) sorted triangle-id list, indirected inside the
+kernel: tid = tris[k]; record = rec[tid].  Indirection skips the cap-row
+record gather in binning and shrinks the HBM->VMEM record traffic from
+O(cap * lanes) to O(T * lanes + cap) — on the dev chip's ~8 GB/s HBM that
+is the cheaper layout (one extra VMEM scalar load per record inside the
+loop).  Either array is resident in VMEM for the whole grid; each tile
+walks its [starts[t], starts[t+1]) slice, so per-tile triangle counts are
+unbounded.  The pixel-space evaluation is dense f32 VPU work with zero HBM
+traffic inside the loops.
+
+Optional outputs, each saving HBM traffic for a specific consumer:
+* emit_z=False: depth resolves in a VMEM scratch, the z target is never
+  written (strip-compacted shade consumes idx only).
+* emit_strips=SL: a per-SL-pixel-strip max-winning-index plane (H, W/SL)
+  — the strip shade's coverage mask — so _shade_strips never re-reads the
+  full idx plane just to find covered strips.
+* idx int16: the depth loop works in an i32 VMEM scratch and casts to the
+  i16 target ONCE per tile at the end, so the halved target bytes are not
+  paid for with per-iteration sub-word selects.
 """
 
 from __future__ import annotations
@@ -66,19 +83,29 @@ def _plane_layout(spec):
 
 
 def _raster_kernel(
-    starts_ref, row_off_ref, rec_ref, *rest,
-    tile_h, tile_w, tiles_x, spec, emit_idx, emit_z, group,
+    starts_ref, row_off_ref, *rest,
+    tile_h, tile_w, tiles_x, spec, emit_idx, emit_z, emit_strips, group,
+    indirect, idx_i16,
 ):
     planes = _plane_layout(spec)
     rest = list(rest)
-    # Output order: [z if emit_z] [idx if needed] [varys if planes]; when z
-    # is not emitted it lives in the trailing VMEM scratch instead (the
-    # depth resolve still runs entirely in VMEM — only the HBM write of the
-    # z target is skipped, e.g. the camera pass of the strip-compacted
-    # shade, which consumes idx only).
-    z_ref = rest.pop(0) if emit_z else rest.pop()
-    idx_ref = rest.pop(0) if emit_idx or planes else None
-    vary_ref = rest.pop(0) if planes else None
+    # Indirect mode: the sorted triangle-id list rides scalar prefetch
+    # (SMEM — dynamic scalar indexing is native there; a 1-D VMEM array
+    # cannot be dynamically indexed along its lane dim).
+    tris_ref = rest.pop(0) if indirect else None
+    rec_ref = rest.pop(0)
+    # Argument order after the inputs: outputs [z?][idx?][varys?][strips?],
+    # then scratch [z32?][idx32?] (z scratch when the z target is not
+    # emitted; i32 idx scratch when the idx target is int16 — the depth
+    # resolve always runs in VMEM at full width either way).
+    n_scratch = (0 if emit_z else 1) + (1 if idx_i16 else 0)
+    scratch = rest[len(rest) - n_scratch:] if n_scratch else []
+    outs = rest[: len(rest) - n_scratch]
+    z_ref = outs.pop(0) if emit_z else scratch.pop(0)
+    idx_ref = outs.pop(0) if emit_idx else None
+    vary_ref = outs.pop(0) if planes else None
+    strip_ref = outs.pop(0) if emit_strips else None
+    idx_work_ref = scratch.pop(0) if idx_i16 else idx_ref
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -88,8 +115,8 @@ def _raster_kernel(
     row_off = row_off_ref[0]  # global tile-row offset of this (row-sharded) grid
 
     z_ref[:] = jnp.full((tile_h, tile_w), F32_MIN, jnp.float32)
-    if idx_ref is not None:
-        idx_ref[:] = jnp.full((tile_h, tile_w), -1, idx_ref.dtype)
+    if idx_work_ref is not None:
+        idx_work_ref[:] = jnp.full((tile_h, tile_w), -1, idx_work_ref.dtype)
     if vary_ref is not None:
         vary_ref[:] = jnp.zeros_like(vary_ref)
 
@@ -102,29 +129,34 @@ def _raster_kernel(
         + (ty + row_off) * tile_h
     ).astype(jnp.float32)
 
+    def rec(k, lane):
+        if tris_ref is None:
+            return rec_ref[k, lane]
+        return rec_ref[tris_ref[k], lane]
+
     def edge_functions(k):
-        a1 = rec_ref[k, 0]
-        b1 = rec_ref[k, 1]
-        c1 = rec_ref[k, 2]
-        a2 = rec_ref[k, 3]
-        b2 = rec_ref[k, 4]
-        c2 = rec_ref[k, 5]
+        a1 = rec(k, 0)
+        b1 = rec(k, 1)
+        c1 = rec(k, 2)
+        a2 = rec(k, 3)
+        b2 = rec(k, 4)
+        c2 = rec(k, 5)
         cx = a1 * pxf + b1 * pyf + c1
         cy = a2 * pxf + b2 * pyf + c2
         return cx, cy
 
-    n_rec = rec_ref.shape[0]
+    n_rec = rec_ref.shape[0] if tris_ref is None else tris_ref.shape[0]
 
     def tri_candidate(k):
         """(inside_mask, zval, gidx) of triangle record k over this tile."""
         cx, cy = edge_functions(k)
-        sgn = rec_ref[k, 6]
-        absz = rec_ref[k, 7]
-        rcz = rec_ref[k, 8]
-        z1 = rec_ref[k, 9]
-        z2 = rec_ref[k, 10]
-        z3 = rec_ref[k, 11]
-        gidx = rec_ref[k, 12]
+        sgn = rec(k, 6)
+        absz = rec(k, 7)
+        rcz = rec(k, 8)
+        z1 = rec(k, 9)
+        z2 = rec(k, 10)
+        z3 = rec(k, 11)
+        gidx = rec(k, 12)
 
         cxs = cx * sgn
         cys = cy * sgn
@@ -154,7 +186,7 @@ def _raster_kernel(
             cands.append((inside & (k0 + j < end), zval, gidx))
 
         z_cur = z_ref[:]
-        idx_cur = idx_ref[:] if idx_ref is not None else None
+        idx_cur = idx_work_ref[:] if idx_work_ref is not None else None
         for inside, zval, gidx in cands:
             win = inside & (zval > z_cur)
             z_cur = jnp.where(win, zval, z_cur)
@@ -163,21 +195,44 @@ def _raster_kernel(
                     win, jnp.int32(gidx).astype(idx_cur.dtype), idx_cur
                 )
         z_ref[:] = z_cur
-        if idx_ref is not None:
-            idx_ref[:] = idx_cur
+        if idx_work_ref is not None:
+            idx_work_ref[:] = idx_cur
         return 0
 
     jax.lax.fori_loop(0, (end - start + GROUP - 1) // GROUP, depth_group, 0)
+
+    if idx_i16 and idx_ref is not None:
+        # One cast+store per tile: the i16 target's halved HBM bytes without
+        # per-iteration sub-word selects (which measured +0.2 ms headline).
+        idx_ref[:] = idx_work_ref[:].astype(idx_ref.dtype)
+
+    if strip_ref is not None:
+        # Per-strip coverage: max winning index over each emit_strips-pixel
+        # lane group (>= 0 <=> covered).  Static unroll over the (few)
+        # strips per tile row; each is an axis-1 reduce of a (tile_h, SL)
+        # slab — tiny VPU work that saves the full idx-plane re-read the
+        # strip shade would otherwise do just to find covered strips.
+        # The output block is (1, tile_h, tile_w//SL) of a (tiles_x, H,
+        # tile_w//SL) array — Mosaic requires the last block dim to be 128
+        # or the full array dim, so the strip axis lives in its own minor
+        # dim and the caller transposes to (H, W//SL).
+        SL = emit_strips
+        idx32 = idx_work_ref[:]
+        cols = [
+            jnp.max(idx32[:, j * SL : (j + 1) * SL], axis=1, keepdims=True)
+            for j in range(tile_w // SL)
+        ]
+        strip_ref[0] = jnp.concatenate(cols, axis=1)
 
     if not planes:
         return
 
     def vary_body(k, _):
-        gidx = rec_ref[k, 12]
-        mask = idx_ref[:] == jnp.int32(gidx).astype(idx_ref.dtype)
+        gidx = rec(k, 12)
+        mask = idx_work_ref[:] == jnp.int32(gidx).astype(idx_work_ref.dtype)
         cx, cy = edge_functions(k)
-        sgn = rec_ref[k, 6]
-        absz = rec_ref[k, 7]
+        sgn = rec(k, 6)
+        absz = rec(k, 7)
         # Exact-division barycentrics (scene.rs:192-196): cx/cz computed as
         # (cx*sgn)/|cz| — the sign flip is exact, so the rounding matches the
         # reference's single division by cz bit-for-bit.
@@ -186,7 +241,7 @@ def _raster_kernel(
         w = jnp.float32(1.0) - ((cx + cy) * sgn) / absz
         for mode, lane, p in planes:
             if mode == "const":
-                val = jnp.full((tile_h, tile_w), rec_ref[k, lane])
+                val = jnp.full((tile_h, tile_w), rec(k, lane))
             elif mode.startswith("texidx"):
                 # Fold uv interpolation + the reference's texel addressing
                 # ((uv*dim) as u32 then clamp, util.rs:35-40 + our clamp
@@ -194,8 +249,8 @@ def _raster_kernel(
                 _, tw_, th_ = mode.split(":")
                 wdim = jnp.float32(int(tw_))
                 hdim = jnp.float32(int(th_))
-                uu = (rec_ref[k, lane] * w + rec_ref[k, lane + 1] * u) + rec_ref[k, lane + 2] * v
-                vv = (rec_ref[k, lane + 3] * w + rec_ref[k, lane + 4] * u) + rec_ref[k, lane + 5] * v
+                uu = (rec(k, lane) * w + rec(k, lane + 1) * u) + rec(k, lane + 2) * v
+                vv = (rec(k, lane + 3) * w + rec(k, lane + 4) * u) + rec(k, lane + 5) * v
                 zero = jnp.float32(0.0)
                 xw = uu * wdim
                 yw = vv * hdim
@@ -205,9 +260,9 @@ def _raster_kernel(
                 cyp = jnp.minimum(jnp.trunc(jnp.maximum(yw, zero)), hdim - 1.0)
                 val = cyp * wdim + cxp
             else:  # interp / zfrag: (a0*w + a1*u) + a2*v
-                a0 = rec_ref[k, lane]
-                a1 = rec_ref[k, lane + 1]
-                a2 = rec_ref[k, lane + 2]
+                a0 = rec(k, lane)
+                a1 = rec(k, lane + 1)
+                a2 = rec(k, lane + 2)
                 val = (a0 * w + a1 * u) + a2 * v
             vary_ref[p] = jnp.where(mask, val, vary_ref[p])
         return 0
@@ -219,13 +274,14 @@ def _raster_kernel(
     jax.jit,
     static_argnames=(
         "tile_h", "tile_w", "tiles_y", "tiles_x", "spec", "emit_idx", "emit_z",
-        "group", "idx_dtype", "interpret",
+        "emit_strips", "group", "idx_dtype", "interpret",
     ),
 )
 def rasterize_pallas(
     csr_records,
     starts,
     row_tile_offset=None,
+    csr_tris=None,
     *,
     tile_h,
     tile_w,
@@ -234,6 +290,7 @@ def rasterize_pallas(
     spec=(),
     emit_idx=True,
     emit_z=True,
+    emit_strips=0,
     group=4,
     idx_dtype="int32",
     interpret=False,
@@ -241,10 +298,13 @@ def rasterize_pallas(
     """Run the raster kernel.
 
     Args:
-      csr_records: (incidence_cap, record_lanes(spec)) f32 from
-        bin_triangles — CSR triangle records in (tile, triangle) order,
-        resident in VMEM for the whole grid.
+      csr_records: triangle records from bin_triangles, resident in VMEM for
+        the whole grid.  Without csr_tris: (incidence_cap, lanes) f32 in
+        (tile, triangle) CSR order.  With csr_tris (csr_indirect mode):
+        the compact (T, lanes) per-triangle table, indirected through
+        csr_tris inside the kernel.
       starts: (num_tiles + 1,) i32 CSR offsets (scalar-prefetched to SMEM).
+      csr_tris: optional (incidence_cap,) i32 sorted triangle ids.
       spec: pipelines.shaders.VARYING_SPECS entry (static).
       emit_idx: write the winning-triangle-index target.  Depth-only passes
         (the shadow map, shader.rs:694-709) need only max z — skipping the
@@ -252,27 +312,43 @@ def rasterize_pallas(
       emit_z: write the depth target.  The strip-compacted shade consumes
         idx only, so its camera pass skips the z write (the depth resolve
         itself is unchanged — z lives in a VMEM scratch).
+      emit_strips: if nonzero, also emit the (H, W/emit_strips) per-strip
+        max-index plane (the strip shade's coverage input).  Requires
+        tile_w % emit_strips == 0.
       group: triangles per depth-loop iteration (config.raster_group).
       idx_dtype: "int32" or "int16" for the index target.  int16 halves the
         target's HBM bytes and is exact for < 32768 triangles (the caller
         checks; requires tile_h a multiple of 16, the i16 sublane tile).
+        The depth loop runs in an i32 scratch; the cast happens once per
+        tile at the final store.
 
-    Returns (z, idx, varyings) of spatial shape (tiles_y*tile_h,
+    Returns (z, idx, varyings, strips) of spatial shape (tiles_y*tile_h,
     tiles_x*tile_w): winning depth (F32_MIN where uncovered; None if not
     emitted), winning triangle index (-1 where uncovered; None if not
-    emitted), and the (num_planes, H, W) f32 interpolated varyings (None
-    if spec is empty).
+    emitted), the (num_planes, H, W) f32 interpolated varyings (None if
+    spec is empty), and the (H, W/emit_strips) i32 strip max-index plane
+    (None unless emit_strips).
     """
     H = tiles_y * tile_h
     W = tiles_x * tile_w
     n_planes = sum(c for (_, c, _) in spec) if spec else 0
-    with_idx = emit_idx or n_planes > 0  # phase 2 reads the index target
+    with_idx = emit_idx or n_planes > 0 or emit_strips > 0  # later phases read it
     assert emit_z or with_idx, "kernel must emit at least one target"
+    if emit_strips:
+        assert tile_w % emit_strips == 0
+    idx_i16 = jnp.dtype(idx_dtype) == jnp.int16
 
     if row_tile_offset is None:
         row_tile_offset = jnp.zeros((1,), jnp.int32)
 
-    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, r: (ty, tx))
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *_: (ty, tx))
+    in_specs = [
+        # Whole record array, constant index map -> fetched to VMEM once
+        # and kept resident across all grid steps.
+        pl.BlockSpec(
+            csr_records.shape, lambda ty, tx, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
     out_specs = []
     out_shape = []
     if emit_z:
@@ -283,24 +359,36 @@ def rasterize_pallas(
         out_shape.append(jax.ShapeDtypeStruct((H, W), jnp.dtype(idx_dtype)))
     if n_planes:
         out_specs.append(
-            pl.BlockSpec((n_planes, tile_h, tile_w), lambda ty, tx, s, r: (0, ty, tx))
+            pl.BlockSpec((n_planes, tile_h, tile_w), lambda ty, tx, *_: (0, ty, tx))
         )
         out_shape.append(jax.ShapeDtypeStruct((n_planes, H, W), jnp.float32))
+    if emit_strips:
+        sw = tile_w // emit_strips
+        out_specs.append(
+            pl.BlockSpec((1, tile_h, sw), lambda ty, tx, *_: (tx, ty, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((tiles_x, H, sw), jnp.int32)
+        )
 
+    scratch_shapes = []
+    if not emit_z:
+        scratch_shapes.append(pltpu.VMEM((tile_h, tile_w), jnp.float32))
+    if idx_i16:
+        scratch_shapes.append(pltpu.VMEM((tile_h, tile_w), jnp.int32))
+
+    # Scalar-prefetch operands (SMEM): starts, row_tile_offset, and — in
+    # indirect mode — the sorted triangle-id list (dynamic scalar indexing
+    # is native in SMEM; a 1-D VMEM array cannot be indexed along lanes).
+    prefetch = [starts, row_tile_offset.astype(jnp.int32)]
+    if csr_tris is not None:
+        prefetch.append(csr_tris)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(tiles_y, tiles_x),
-        in_specs=[
-            # Whole CSR array, constant index map -> fetched to VMEM once
-            # and kept resident across all grid steps.
-            pl.BlockSpec(
-                csr_records.shape, lambda ty, tx, s, r: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=(
-            [] if emit_z else [pltpu.VMEM((tile_h, tile_w), jnp.float32)]
-        ),
+        scratch_shapes=scratch_shapes,
     )
 
     kernel = functools.partial(
@@ -311,16 +399,23 @@ def rasterize_pallas(
         spec=spec,
         emit_idx=with_idx,
         emit_z=emit_z,
+        emit_strips=emit_strips,
         group=group,
+        indirect=csr_tris is not None,
+        idx_i16=idx_i16,
     )
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, row_tile_offset.astype(jnp.int32), csr_records)
+    )(*prefetch, csr_records)
     outs = list(outs)
     z = outs.pop(0) if emit_z else None
     idx = outs.pop(0) if with_idx else None
     varys = outs.pop(0) if n_planes else None
-    return z, idx, varys
+    strips = None
+    if emit_strips:
+        s3 = outs.pop(0)  # (tiles_x, H, tile_w//SL)
+        strips = jnp.moveaxis(s3, 0, 1).reshape(H, W // emit_strips)
+    return z, idx, varys, strips

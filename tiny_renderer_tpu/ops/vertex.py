@@ -33,12 +33,36 @@ EXACT_COORD_MAX = 1 << 14
 
 
 def gather_triangles(geom, xp):
-    """Per-triangle attribute gather: positions (T,3v,3), uvs (T,3v,2), normals."""
+    """Per-triangle attribute gather: positions (T,3v,3), uvs (T,3v,2), normals.
+
+    The index arrays are frame-invariant, so these gathers (~60k rows/frame
+    for diablo shadow: pos for both passes + uv + normal, at ~7.3 ns/row on
+    the dev chip) can be hoisted out of the frame entirely: if the geometry
+    was pre-expanded with expand_geometry (Scene does this once at
+    construction), the (T, 3, ...) arrays are used directly."""
+    if "pos_tri" in geom:
+        return {
+            "pos": geom["pos_tri"],
+            "uv_raw": geom["uv_tri"],
+            "normal": geom["normal_tri"],
+        }
     return {
         "pos": geom["positions"][geom["pos_idx"]],
         "uv_raw": geom["tex_coords"][geom["tex_idx"]],
         "normal": geom["normals"][geom["normal_idx"]],
     }
+
+
+def expand_geometry(geom, xp):
+    """Geometry dict plus the pre-expanded per-triangle attribute arrays.
+
+    One-time cost (three T*3-row gathers, ~0.5 MB for diablo) paid at scene
+    construction instead of once per frame per pass."""
+    out = dict(geom)
+    out["pos_tri"] = geom["positions"][geom["pos_idx"]]
+    out["uv_tri"] = geom["tex_coords"][geom["tex_idx"]]
+    out["normal_tri"] = geom["normals"][geom["normal_idx"]]
+    return out
 
 
 def face_normals(pos, xp):

@@ -76,24 +76,29 @@ _GATHER_KEYS = {
 }
 
 
-def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True):
+def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True,
+               emit_strips=0):
     """Backend dispatch.
 
-    Returns (z, idx, varys) cropped to (height, width); varys is None on the
-    jnp backend (the gather path computes varyings).  The crops are lazy
-    slices that XLA fuses into consumers — keeping shading (and especially
-    its per-pixel gathers, the dominant cost) at the unpadded pixel count.
-    emit_z=False (kernel backends) skips the z target's HBM write when the
-    caller consumes idx only.
+    Returns (z, idx, varys, strips, overflowed) cropped to (height, width);
+    varys is None on the jnp backend (the gather path computes varyings),
+    strips is the per-strip coverage plane (None unless emit_strips on a
+    kernel backend).  The crops are lazy slices that XLA fuses into
+    consumers — keeping shading (and especially its per-pixel gathers, the
+    dominant cost) at the unpadded pixel count.  emit_z=False (kernel
+    backends) skips the z target's HBM write when the caller consumes idx
+    only.
     """
     H, W = config.height, config.width
     if backend == "jnp":
         z, idx = rasterize_jnp(setup, H, W, config.tri_block)
-        return z, idx, None, jnp.asarray(False)
-    csr_records, starts, overflowed = bin_triangles(setup, config, spec)
-    z, idx, varys = rasterize_pallas(
-        csr_records,
+        return z, idx, None, None, jnp.asarray(False)
+    records, tris, starts, overflowed = bin_triangles(setup, config, spec)
+    z, idx, varys, strips = rasterize_pallas(
+        records,
         starts,
+        None,
+        tris,
         idx_dtype=_idx_dtype(setup, config),
         tile_h=config.tile_h,
         tile_w=config.tile_w,
@@ -102,6 +107,7 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True):
         spec=spec,
         emit_idx=emit_idx,
         emit_z=emit_z,
+        emit_strips=emit_strips,
         group=config.raster_group,
         interpret=(backend == "pallas_interpret"),
     )
@@ -109,6 +115,7 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True):
         z[:H, :W] if z is not None else None,
         idx[:H, :W] if idx is not None else None,
         varys[:, :H, :W] if varys is not None else None,
+        strips[:H, : W // emit_strips] if strips is not None else None,
         overflowed,
     )
 
@@ -123,6 +130,21 @@ def _idx_dtype(setup, config):
     ):
         return "int16"
     return "int32"
+
+
+def _strip_mask_len(config):
+    """strip_len when the kernel should emit the strip coverage plane for
+    the strip-compacted shade, else 0.  Flat strips only align with the
+    (H, W/SL) mask when width % SL == 0 (strips then never cross rows)."""
+    SL = config.strip_len
+    if (
+        config.strip_mask
+        and config.compact_shade
+        and config.width % SL == 0
+        and config.tile_w % SL == 0
+    ):
+        return SL
+    return 0
 
 
 def _pixel_coords(H, W, y_offset=0):
@@ -247,7 +269,7 @@ def render_frame(
         setup1 = triangle_setup(
             geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
         )
-        shadow_z, _, _, ovf1 = _rasterize(
+        shadow_z, _, _, _, ovf1 = _rasterize(
             setup1, config, backend, spec=(), emit_idx=False
         )
         ovf1 = ovf1 | setup1["coord_overflow"]
@@ -278,8 +300,9 @@ def render_frame(
         kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
     # The camera pass's z target is consumed only by callers (debug views,
     # parity checks) — shading reads idx / varying planes.
-    z, idx, varys, ovf2 = _rasterize(
-        setup, config, backend, spec=kspec, emit_z=needs_z
+    z, idx, varys, strips, ovf2 = _rasterize(
+        setup, config, backend, spec=kspec, emit_z=needs_z,
+        emit_strips=_strip_mask_len(config) if compact else 0,
     )
     ovf2 = ovf2 | setup["coord_overflow"]
 
@@ -287,7 +310,8 @@ def render_frame(
         if _pk_needed(textures, pipeline):
             textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
         frame = _shade_strips(
-            setup, idx, pipeline, uniforms, textures, config, shadow_z
+            setup, idx, pipeline, uniforms, textures, config, shadow_z,
+            strip_mask=strips,
         )
         return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
 
@@ -327,7 +351,7 @@ def _add_const_gather(frag, kspec, vspec, setup, idx):
 
 
 def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
-                  y_offset=0):
+                  y_offset=0, strip_mask=None):
     """Strip-compacted shading: the gather-bound stage runs only on covered
     config.strip_len-pixel strips.
 
@@ -375,7 +399,14 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
             [flat, jnp.full((n_strips * SL - HW,), -1, idx.dtype)]
         )
     strips = flat.reshape(n_strips, SL)
-    cov = jnp.any(strips >= 0, axis=1)
+    if strip_mask is not None:
+        # Kernel-emitted per-strip max winning index: finding the covered
+        # strips reads a (H, W/SL) plane instead of the full idx plane
+        # (~SL x fewer bytes; the idx plane is then only touched by the
+        # covered-strip gathers below).
+        cov = strip_mask.reshape(-1) >= 0
+    else:
+        cov = jnp.any(strips >= 0, axis=1)
     count = jnp.sum(cov, dtype=jnp.int32)
 
     # Compacted covered-strip ids: comp[j] = id of the j-th covered strip.

@@ -30,7 +30,7 @@ import numpy as np
 from ..ops import mathlib as ml
 from ..ops.vertex import triangle_setup
 from ..utils.timing import StageTimer
-from .frame import PIPELINES, _rasterize, render_frame
+from .frame import PIPELINES, _rasterize, _strip_mask_len, render_frame
 from .shaders import kernel_varying_spec, VARYING_SPECS
 
 
@@ -93,8 +93,10 @@ def _prefix_fn(pipeline, config, backend, stage):
 
             outs = []
             for s, sp in setups:
-                csr, starts, _ = bin_triangles(s, config, sp)
-                outs += [csr[:, 0], starts]
+                records, tris, starts, _ = bin_triangles(s, config, sp)
+                outs += [records[:, 0], starts]
+                if tris is not None:
+                    outs.append(tris)
             return _checksum(*outs)
 
         # stage == "raster": run both passes' rasters, skip shading.
@@ -104,14 +106,20 @@ def _prefix_fn(pipeline, config, backend, stage):
         for i, (s, sp) in enumerate(setups):
             shadow_pass = spec.two_pass and i == 0
             compact = backend != "jnp" and config.compact_shade
-            z, idx, varys, _ = _rasterize(
+            z, idx, varys, strips, _ = _rasterize(
                 s, config, backend, spec=sp,
                 emit_idx=not shadow_pass,
                 emit_z=shadow_pass or not compact,
+                emit_strips=(
+                    _strip_mask_len(config)
+                    if compact and not shadow_pass else 0
+                ),
             )
             outs.append(z if z is not None else idx)
             if varys is not None:
                 outs.append(varys[0])
+            if strips is not None:
+                outs.append(strips)
         return _checksum(*outs)
 
     return jax.jit(fn)

@@ -525,6 +525,52 @@ def occlusion_update(svals, fval, config, xp):
     return occ
 
 
+def dedup_gather(table, flat_idx, cap_shift=3):
+    """Exact duplicate-collapsing gather: table[flat_idx] with equal indices
+    fetched once (jnp only).
+
+    The occlusion probe's (n+1, batch) sample indices repeat heavily — a
+    strip-shade batch measures 16-26x duplication (scripts/
+    occlusion_dedup_stats.py) because the 17 samples sit at per-frame-
+    constant offsets around per-fragment base points that cluster within
+    consecutive strips.  Equal indices fetch equal values, so collapsing
+    them cannot change output (VERDICT r2 #5): sort the indices with their
+    positions, fetch each run's head once from the (static) cap of
+    M >> cap_shift unique slots, broadcast along runs via a rank gather
+    from the small fetched table, and scatter back through the sort
+    permutation.  If a batch exceeds the unique cap (measured margin ~2-3x)
+    the plain gather runs instead — bit-identical either way.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    shape = flat_idx.shape
+    I = flat_idx.reshape(-1).astype(jnp.int32)
+    M = I.shape[0]
+    cap = max(M >> cap_shift, 256)
+    pos = jax.lax.iota(jnp.int32, M)
+    Is, pos_s = jax.lax.sort_key_val(I, pos)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), Is[1:] != Is[:-1]]
+    )
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    overflow = rank[-1] >= cap
+
+    def deduped(_):
+        uniq = (
+            jnp.zeros((cap,), jnp.int32)
+            .at[jnp.where(first, rank, cap)]
+            .set(Is, mode="drop")
+        )
+        fetched = table[uniq]  # the ONLY table-sized gather: cap rows
+        vals_sorted = fetched[jnp.minimum(rank, cap - 1)]
+        # Inverse permutation: every slot written exactly once.
+        return jnp.zeros((M,), table.dtype).at[pos_s].set(vals_sorted)
+
+    vals = jax.lax.cond(overflow, lambda _: table[I], deduped, None)
+    return vals.reshape(shape)
+
+
 def occlusion_coefficient(xf, yf, zfrag, shadow_buffer, uniforms, config, xp):
     """The occlusion core (shader.rs:882-941) for any batch of fragments:
     16-sample circular probe of the shadow buffer in the plane perpendicular
@@ -532,12 +578,17 @@ def occlusion_coefficient(xf, yf, zfrag, shadow_buffer, uniforms, config, xp):
 
     All n+1 coords are computed elementwise, then fetched with ONE gather
     of (n+1, ...) indices — identical per-sample arithmetic to n separate
-    fetches (shader.rs:922-933), fewer gather dispatches.
+    fetches (shader.rs:922-933), fewer gather dispatches.  With
+    config.occlusion_dedup (jnp path) duplicate indices are collapsed
+    before the fetch (dedup_gather) — exact by construction.
     """
     n = config.occlusion_samples
     sxs, sys = occlusion_sample_coords(xf, yf, zfrag, uniforms, config, xp)
     flat = shadow_flat_indices(sxs, sys, shadow_buffer.shape, config.width, xp)
-    vals = shadow_buffer.reshape(-1)[flat]  # (n+1, ...)
+    if config.occlusion_dedup and xp is not np:
+        vals = dedup_gather(shadow_buffer.reshape(-1), flat)
+    else:
+        vals = shadow_buffer.reshape(-1)[flat]  # (n+1, ...)
     return occlusion_update(vals[:n], vals[n], config, xp)
 
 
