@@ -152,6 +152,16 @@ def load_xlib():
     lib.XFlush.argtypes = [ctypes.c_void_p]
     lib.XDestroyWindow.argtypes = [ctypes.c_void_p, _Window]
     lib.XCloseDisplay.argtypes = [ctypes.c_void_p]
+    # Used by scripts/x11_smoke.py to inject a synthetic KeyPress through
+    # the real server (live-display certification).
+    lib.XSendEvent.restype = ctypes.c_int
+    lib.XSendEvent.argtypes = [
+        ctypes.c_void_p, _Window, ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(XEvent),
+    ]
+    lib.XKeysymToKeycode.restype = ctypes.c_ubyte
+    lib.XKeysymToKeycode.argtypes = [ctypes.c_void_p, _KeySym]
+    lib.XSync.argtypes = [ctypes.c_void_p, ctypes.c_int]
     return lib
 
 
