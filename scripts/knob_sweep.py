@@ -51,10 +51,14 @@ def main():
     tj = {k: jnp.asarray(v) for k, v in tex.items()}
     tj = prepack_textures(tj, "shadow")
 
-    n = 40
+    n = 72
     rng = np.random.default_rng()
 
-    def measure(cfg, pipeline="shadow", geom=None):
+    def measure(cfg, pipeline="shadow", geom=None, inner=5):
+        """Median of `inner` long-vs-short burst marginals (n=72 vs 8).
+        Longer bursts + median (not min) suppress both the tunnel-RTT
+        jitter and the sporadic fast/slow chip excursions that made
+        best-of-3 at n=40 swing +-0.5 ms rep to rep."""
         g = gj if geom is None else geom
         base = float(rng.uniform(0, 1e-2))
         cam = (0.37 + base + 1e-4 * np.arange(n)).astype(np.float32)
@@ -67,13 +71,13 @@ def main():
 
         run(cam[:8], lig[:8])
         run(cam, lig)
-        best = np.inf
-        for rep in range(3):
+        vals = []
+        for rep in range(inner):
             e = (rep + 1) * 1e-5
             t0 = time.perf_counter(); run(cam[:8] + e, lig[:8]); t8 = time.perf_counter() - t0
             t0 = time.perf_counter(); run(cam + e, lig); tn = time.perf_counter() - t0
-            best = min(best, (tn - t8) * 1e3 / (n - 8))
-        return best
+            vals.append((tn - t8) * 1e3 / (n - 8))
+        return float(np.median(vals))
 
     import bench
     h = bench.chip_health()
@@ -99,10 +103,19 @@ def main():
         ("ind+mask     ", RenderConfig(), gx),
         ("ind+mask+i16 ", RenderConfig(idx_int16=True), gx),
     ]
-    for rep in range(3):
+    results = {name: [] for name, _, _ in variants}
+    for rep in range(4):
         for name, cfg, g in variants:
             ms = measure(cfg, geom=g)
+            results[name].append(ms)
             print(f"rep{rep} {name} {ms:7.3f} ms/frame", flush=True)
+    print("--- medians over reps ---", flush=True)
+    for name, vals in results.items():
+        print(
+            f"{name} median {np.median(vals):7.3f}  "
+            f"min {min(vals):7.3f}  max {max(vals):7.3f}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

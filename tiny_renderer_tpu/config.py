@@ -61,19 +61,23 @@ class RenderConfig:
     # saves); default False keeps the full-grid sort.
     binning_compact: bool = False
     # Indirect CSR records: the kernel receives the compact (T, lanes)
-    # per-triangle record table plus the (cap,) sorted triangle-id list and
-    # indirects rec[tris[k]] inside the loop, instead of a pre-gathered
-    # (cap, lanes) CSR array.  Skips the cap-row record gather in binning
-    # and cuts the records' HBM write+DMA ~4x (cap defaults to 4T) for one
-    # extra VMEM scalar load per record.  Bit-identical output (tests pin
-    # it); default decided by hardware sweep.
+    # per-triangle record table plus the (cap,) sorted triangle-id list
+    # (SMEM scalar prefetch) and indirects rec[tris[k]] inside the loop,
+    # instead of a pre-gathered (cap, lanes) CSR array.  Skips the cap-row
+    # record gather in binning and cuts the records' HBM write+DMA ~4x for
+    # one extra SMEM scalar load per record.  Bit-identical (tests pin
+    # it); measured -0.07 ms headline (hardened same-process sweep,
+    # medians 5.054 vs 5.124, spreads 0.03) -> default True.
     csr_indirect: bool = True
     # Emit the per-strip coverage plane (max winning index per strip_len-px
     # strip) from the raster kernel, so the strip shade reads a (H, W/SL)
     # plane instead of re-reading the full idx plane to find covered
     # strips.  Requires width % strip_len == 0 and tile_w % strip_len == 0
-    # (silently unused otherwise).
-    strip_mask: bool = True
+    # (silently unused otherwise).  Measured +0.06 ms headline (the
+    # transpose + extra output outweigh the saved read — the idx-plane
+    # coverage read was NOT on the critical path) -> default False; knob
+    # kept bit-identity-pinned for bandwidth-bound hardware.
+    strip_mask: bool = False
     # Global cap on (tile, triangle) incidences in the CSR binning; None =
     # max(4*T, 4096) — generous vs the typical ~1.3 incidences/triangle.
     # Overflow (flagged) drops the tail of the incidence generation order
@@ -95,10 +99,11 @@ class RenderConfig:
     raster_group: int = 16
     # Emit the winning-triangle-index target as int16 (requires < 32768
     # triangles and tile_h % 16 == 0 — the i16 sublane tile).  Measured
-    # SLOWER on the dev chip (+0.2 ms headline): the kernel's i16
-    # sub-word selects cost more than the halved target bytes save, and
-    # the strip shade's gathers bill per ROW, not per byte.  Kept as a
-    # knob (bit-identical; tests pin it) for bandwidth-rich hardware.
+    # SLOWER on the dev chip twice: +0.2 ms in round 2 (per-iteration i16
+    # selects) and +0.13 ms in round 3 even with the i32-scratch late-cast
+    # form (one astype+store per tile) — the halved target bytes simply
+    # don't matter on the critical path.  Kept as a knob (bit-identical;
+    # tests pin it) for bandwidth-rich hardware.
     idx_int16: bool = False
     # Strip shade writeback: True packs RGB into one i32 word per pixel
     # (scatter + unpack pass); False scatters (SL, 3) u8 rows directly.
