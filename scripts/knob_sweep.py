@@ -89,24 +89,25 @@ def main():
         f"chip health: {mxu_s}, {h['gather_ns_per_row']:.1f} ns/row",
         flush=True,
     )
-    # Round-3 sweep: traffic-layout knobs, interleaved within one process
-    # (the chip drifts across runs — same-state A/B only).
+    # Current sweep: pass fusion at the round-3 tile default (results in
+    # BASELINE.md; earlier sweeps' variant lists live in git history and
+    # knob_sweep2/3.py).  Interleaved within one process (the chip drifts
+    # across runs — same-state A/B only).
     from tiny_renderer_tpu.ops.vertex import expand_geometry
 
     gx = expand_geometry(gj, jnp)
-    base = dict(csr_indirect=False, strip_mask=False)
     variants = [
-        ("r2-base      ", RenderConfig(**base), gj),
-        ("pre-expand   ", RenderConfig(**base), gx),
-        ("indirect     ", RenderConfig(csr_indirect=True, strip_mask=False), gx),
-        ("stripmask    ", RenderConfig(csr_indirect=False, strip_mask=True), gx),
-        ("ind+mask     ", RenderConfig(), gx),
-        ("ind+mask+i16 ", RenderConfig(idx_int16=True), gx),
+        ("fused t32     ", RenderConfig(), gx),
+        ("unfused t32   ", RenderConfig(fuse_passes=False), gx),
+        ("fused t16     ", RenderConfig(tile_h=16), gx),
+        ("fused t32 occ ", RenderConfig(), gx),  # occlusion below
+        ("unfused t32occ", RenderConfig(fuse_passes=False), gx),
     ]
     results = {name: [] for name, _, _ in variants}
     for rep in range(4):
         for name, cfg, g in variants:
-            ms = measure(cfg, geom=g)
+            pipe = "occlusion" if "occ" in name else "shadow"
+            ms = measure(cfg, pipeline=pipe, geom=g)
             results[name].append(ms)
             print(f"rep{rep} {name} {ms:7.3f} ms/frame", flush=True)
     print("--- medians over reps ---", flush=True)

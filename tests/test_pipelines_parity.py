@@ -141,6 +141,41 @@ def test_layout_knobs_bit_identical(head_scene_data, camera, knob):
     np.testing.assert_array_equal(frames[False], frames[True])
 
 
+@pytest.mark.parametrize("pipeline", ["shadow", "occlusion"])
+def test_fused_raster_bit_identical(head_scene_data, camera, pipeline):
+    """fuse_passes (both depth loops in one pallas_call) is pure
+    scheduling: frame and shadow map must be bit-identical to the
+    unfused kernel path at the same (burst) posture."""
+    import dataclasses
+    import functools
+
+    from tiny_renderer_tpu.pipelines.frame import render_frame
+
+    geom, tex = head_scene_data
+    light, look_from, look_at, up = camera
+    gj = jax.tree.map(jnp.asarray, geom)
+    tj = jax.tree.map(jnp.asarray, tex)
+    args = (jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
+            jnp.asarray(up))
+    outs = {}
+    for fuse in (True, False):
+        cfg = RenderConfig(
+            width=96, height=96, tri_block=32, tile_h=8, fuse_passes=fuse
+        )
+        fn = jax.jit(functools.partial(
+            render_frame, pipeline=pipeline, config=cfg,
+            backend="pallas_interpret", needs_z=False,
+        ))
+        outs[fuse] = fn(gj, tj, *args)
+        assert outs[fuse]["z"] is None
+    np.testing.assert_array_equal(
+        np.asarray(outs[True]["frame"]), np.asarray(outs[False]["frame"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True]["shadow"]), np.asarray(outs[False]["shadow"])
+    )
+
+
 def test_dedup_gather_exact():
     """dedup_gather == plain gather for heavy-duplication, light-duplication
     (unique-cap overflow -> fallback), and all-equal index patterns."""

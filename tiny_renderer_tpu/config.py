@@ -49,9 +49,12 @@ class RenderConfig:
 
     # Raster tiling (TPU-side knobs; no reference equivalent — the reference
     # scans each triangle's bounding box serially, src/scene.rs:240-241).
-    # tile_h x strip_batch swept on hardware (scripts/knob_sweep.py,
-    # same-state repeats): (16, 512) best; 8 and 32 equal or worse.
-    tile_h: int = 16
+    # Hardened round-3 sweep (scripts/knob_sweep3.py, medians over 4
+    # interleaved reps): tile_h 32 4.899 ms, 16 5.066, 8 5.448 — the
+    # ~1 us/grid-step fixed cost dominates, so fewer/taller tiles win;
+    # (32, 256) gives the step count back to wasted per-candidate VPU
+    # width (5.054) and 16x256 sits between (5.006).
+    tile_h: int = 32
     tile_w: int = 128
     # Compact real incidences before the binning sort (T-sized per-
     # triangle prefix + monotone scatter; the sort then runs on ~4T keys
@@ -95,8 +98,18 @@ class RenderConfig:
     # scalar record reads dominate that loop and grouping pipelines them.
     # The ascending-index candidate merge keeps the tie rule exact at any
     # group.  Headline sweep on the dev chip (scripts/knob_sweep.py):
-    # 4-wide 5.40 ms, 8-wide 5.12, 16-wide 4.99; flat beyond.
+    # 4-wide 5.40 ms, 8-wide 5.12, 16-wide 4.99; flat beyond (32-wide
+    # re-measured neutral in the round-3 hardened sweep).
     raster_group: int = 16
+    # Fuse the two-pass pipelines' rasters (shadow depth + camera idx)
+    # into ONE pallas_call: each grid step runs both passes' CSR loops on
+    # its tile, halving the grid-step count.  Measured NEUTRAL on the dev
+    # chip (hardened sweep: 4.902 fused vs 4.904 unfused; occlusion
+    # 22.83 vs 22.80) — the tile-size gains (t8->t32) trace to output-DMA
+    # granularity, which fusion does not change, not to per-step
+    # bookkeeping.  Default off (simpler one-pass kernels); knob kept
+    # bit-identity-pinned for hardware where step bookkeeping matters.
+    fuse_passes: bool = False
     # Emit the winning-triangle-index target as int16 (requires < 32768
     # triangles and tile_h % 16 == 0 — the i16 sublane tile).  Measured
     # SLOWER on the dev chip twice: +0.2 ms in round 2 (per-iteration i16

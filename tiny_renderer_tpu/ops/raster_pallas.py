@@ -82,6 +82,88 @@ def _plane_layout(spec):
     return planes
 
 
+def _depth_resolve(rec_ref, tris_ref, start, end, pxf, pyf, z_ref, idx_ref,
+                   group):
+    """The phase-1 depth loop over one tile's CSR slice [start, end).
+
+    Candidates are merged strictly in ascending global-index order, so the
+    reference tie rule (z <= stored -> reject; shader.rs:169-180) is exact
+    at any `group`.  idx_ref may be None (depth-only shadow pass).  Shared
+    by the single-pass and fused two-pass kernels.
+    """
+
+    def rec(k, lane):
+        if tris_ref is None:
+            return rec_ref[k, lane]
+        return rec_ref[tris_ref[k], lane]
+
+    n_rec = rec_ref.shape[0] if tris_ref is None else tris_ref.shape[0]
+
+    def tri_candidate(k):
+        a1 = rec(k, 0)
+        b1 = rec(k, 1)
+        c1 = rec(k, 2)
+        a2 = rec(k, 3)
+        b2 = rec(k, 4)
+        c2 = rec(k, 5)
+        cx = a1 * pxf + b1 * pyf + c1
+        cy = a2 * pxf + b2 * pyf + c2
+        sgn = rec(k, 6)
+        absz = rec(k, 7)
+        rcz = rec(k, 8)
+        z1 = rec(k, 9)
+        z2 = rec(k, 10)
+        z3 = rec(k, 11)
+        gidx = rec(k, 12)
+
+        cxs = cx * sgn
+        cys = cy * sgn
+        zero = jnp.float32(0.0)
+        inside = (cxs >= zero) & (cys >= zero) & (absz - cxs - cys >= zero)
+
+        u = cx * rcz
+        v = cy * rcz
+        w = jnp.float32(1.0) - (cx + cy) * rcz
+        zval = (w * z1 + u * z2) + v * z3
+        return inside, zval, gidx
+
+    def depth_group(i, _):
+        k0 = start + group * i
+        cands = []
+        for j in range(group):
+            k = jnp.minimum(k0 + j, n_rec - 1)
+            inside, zval, gidx = tri_candidate(k)
+            cands.append((inside & (k0 + j < end), zval, gidx))
+
+        z_cur = z_ref[:]
+        idx_cur = idx_ref[:] if idx_ref is not None else None
+        for inside, zval, gidx in cands:
+            win = inside & (zval > z_cur)
+            z_cur = jnp.where(win, zval, z_cur)
+            if idx_cur is not None:
+                idx_cur = jnp.where(
+                    win, jnp.int32(gidx).astype(idx_cur.dtype), idx_cur
+                )
+        z_ref[:] = z_cur
+        if idx_ref is not None:
+            idx_ref[:] = idx_cur
+        return 0
+
+    jax.lax.fori_loop(0, (end - start + group - 1) // group, depth_group, 0)
+
+
+def _tile_pixel_coords(tile_h, tile_w, ty, tx, row_off):
+    """f32 pixel coordinates (exact integers) of tile (ty, tx)."""
+    pxf = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + tx * tile_w
+    ).astype(jnp.float32)
+    pyf = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        + (ty + row_off) * tile_h
+    ).astype(jnp.float32)
+    return pxf, pyf
+
+
 def _raster_kernel(
     starts_ref, row_off_ref, *rest,
     tile_h, tile_w, tiles_x, spec, emit_idx, emit_z, emit_strips, group,
@@ -121,13 +203,7 @@ def _raster_kernel(
         vary_ref[:] = jnp.zeros_like(vary_ref)
 
     # Pixel coordinates of this tile (f32 holding exact integers).
-    pxf = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) + tx * tile_w
-    ).astype(jnp.float32)
-    pyf = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        + (ty + row_off) * tile_h
-    ).astype(jnp.float32)
+    pxf, pyf = _tile_pixel_coords(tile_h, tile_w, ty, tx, row_off)
 
     def rec(k, lane):
         if tris_ref is None:
@@ -145,61 +221,12 @@ def _raster_kernel(
         cy = a2 * pxf + b2 * pyf + c2
         return cx, cy
 
-    n_rec = rec_ref.shape[0] if tris_ref is None else tris_ref.shape[0]
-
-    def tri_candidate(k):
-        """(inside_mask, zval, gidx) of triangle record k over this tile."""
-        cx, cy = edge_functions(k)
-        sgn = rec(k, 6)
-        absz = rec(k, 7)
-        rcz = rec(k, 8)
-        z1 = rec(k, 9)
-        z2 = rec(k, 10)
-        z3 = rec(k, 11)
-        gidx = rec(k, 12)
-
-        cxs = cx * sgn
-        cys = cy * sgn
-        zero = jnp.float32(0.0)
-        inside = (cxs >= zero) & (cys >= zero) & (absz - cxs - cys >= zero)
-
-        u = cx * rcz
-        v = cy * rcz
-        w = jnp.float32(1.0) - (cx + cy) * rcz
-        zval = (w * z1 + u * z2) + v * z3
-        return inside, zval, gidx
-
-    # `group` triangles per iteration: the ~12-cycle VMEM scalar record
-    # reads dominate the loop, and grouping lets them pipeline (measured:
-    # 2-wide cut the headline raster ~40%; 4-wide squeezed the remainder).
-    # The merge below applies candidates strictly in ascending global-index
-    # order, so the tie rule (z <= stored -> reject; shader.rs:169-180) is
-    # preserved exactly.
-    GROUP = group
-
-    def depth_group(i, _):
-        k0 = start + GROUP * i
-        cands = []
-        for j in range(GROUP):
-            k = jnp.minimum(k0 + j, n_rec - 1)
-            inside, zval, gidx = tri_candidate(k)
-            cands.append((inside & (k0 + j < end), zval, gidx))
-
-        z_cur = z_ref[:]
-        idx_cur = idx_work_ref[:] if idx_work_ref is not None else None
-        for inside, zval, gidx in cands:
-            win = inside & (zval > z_cur)
-            z_cur = jnp.where(win, zval, z_cur)
-            if idx_cur is not None:
-                idx_cur = jnp.where(
-                    win, jnp.int32(gidx).astype(idx_cur.dtype), idx_cur
-                )
-        z_ref[:] = z_cur
-        if idx_work_ref is not None:
-            idx_work_ref[:] = idx_cur
-        return 0
-
-    jax.lax.fori_loop(0, (end - start + GROUP - 1) // GROUP, depth_group, 0)
+    # Phase 1 — depth resolve (`group` triangles per iteration: the ~12-
+    # cycle VMEM scalar record reads dominate the loop and grouping
+    # pipelines them; the merge is exact at any width).
+    _depth_resolve(
+        rec_ref, tris_ref, start, end, pxf, pyf, z_ref, idx_work_ref, group
+    )
 
     if idx_i16 and idx_ref is not None:
         # One cast+store per tile: the i16 target's halved HBM bytes without
@@ -419,3 +446,108 @@ def rasterize_pallas(
         s3 = outs.pop(0)  # (tiles_x, H, tile_w//SL)
         strips = jnp.moveaxis(s3, 0, 1).reshape(H, W // emit_strips)
     return z, idx, varys, strips
+
+
+def _fused_raster_kernel(
+    starts1_ref, starts2_ref, row_off_ref, *rest,
+    tile_h, tile_w, tiles_x, group, indirect,
+):
+    rest = list(rest)
+    tris1_ref = rest.pop(0) if indirect else None
+    tris2_ref = rest.pop(0) if indirect else None
+    rec1_ref = rest.pop(0)
+    rec2_ref = rest.pop(0)
+    z_ref, idx_ref, z2_ref = rest  # outputs: shadow z, camera idx; scratch z2
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * tiles_x + tx
+    row_off = row_off_ref[0]
+    pxf, pyf = _tile_pixel_coords(tile_h, tile_w, ty, tx, row_off)
+
+    z_ref[:] = jnp.full((tile_h, tile_w), F32_MIN, jnp.float32)
+    z2_ref[:] = jnp.full((tile_h, tile_w), F32_MIN, jnp.float32)
+    idx_ref[:] = jnp.full((tile_h, tile_w), -1, idx_ref.dtype)
+
+    # Pass 1: shadow depth (no index target — shader.rs:694-709).
+    _depth_resolve(
+        rec1_ref, tris1_ref, starts1_ref[tile], starts1_ref[tile + 1],
+        pxf, pyf, z_ref, None, group,
+    )
+    # Pass 2: camera winning index (z resolves in scratch, never written).
+    _depth_resolve(
+        rec2_ref, tris2_ref, starts2_ref[tile], starts2_ref[tile + 1],
+        pxf, pyf, z2_ref, idx_ref, group,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_h", "tile_w", "tiles_y", "tiles_x", "group", "interpret",
+    ),
+)
+def rasterize_pallas_fused(
+    rec1, starts1, tris1, rec2, starts2, tris2,
+    row_tile_offset=None,
+    *,
+    tile_h,
+    tile_w,
+    tiles_y,
+    tiles_x,
+    group=16,
+    interpret=False,
+):
+    """Both passes of a two-pass pipeline in ONE pallas_call.
+
+    Each grid step runs the shadow pass's depth loop (into the emitted
+    shadow-z target) and the camera pass's depth loop (z in VMEM scratch,
+    winning index emitted) on its tile — halving the grid-step count,
+    whose ~1 us/step fixed cost is the dominant raster term on the dev
+    chip (scripts/knob_sweep3.py).  The passes are data-independent (only
+    shading consumes the shadow map), so fusion is pure scheduling.
+
+    rec/tris pairs follow bin_triangles' csr_indirect convention: tris may
+    be None (rec is then the gathered CSR array) but both passes must
+    agree.  Returns (shadow_z, idx) of padded spatial shape.
+    """
+    H = tiles_y * tile_h
+    W = tiles_x * tile_w
+    indirect = tris1 is not None
+    assert (tris2 is not None) == indirect
+
+    if row_tile_offset is None:
+        row_tile_offset = jnp.zeros((1,), jnp.int32)
+
+    tile_spec = pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *_: (ty, tx))
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda ty, tx, *_: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    prefetch = [starts1, starts2, row_tile_offset.astype(jnp.int32)]
+    if indirect:
+        prefetch += [tris1, tris2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(prefetch),
+        grid=(tiles_y, tiles_x),
+        in_specs=[full(rec1), full(rec2)],
+        out_specs=[tile_spec, tile_spec],
+        scratch_shapes=[pltpu.VMEM((tile_h, tile_w), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _fused_raster_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        group=group,
+        indirect=indirect,
+    )
+    shadow_z, idx = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+            jax.ShapeDtypeStruct((H, W), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*prefetch, rec1, rec2)
+    return shadow_z, idx

@@ -30,7 +30,7 @@ import dataclasses
 from ..ops import mathlib as ml
 from ..ops.binning import bin_triangles
 from ..ops.raster_jnp import rasterize_jnp
-from ..ops.raster_pallas import rasterize_pallas
+from ..ops.raster_pallas import rasterize_pallas, rasterize_pallas_fused
 from ..ops.vertex import triangle_setup
 from ..pipelines import shaders
 from ..pipelines.frame import (
@@ -116,46 +116,83 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
     W = config.width
     d = jax.lax.axis_index("rows")
     y0 = d * rows_per_shard
+    compact = backend != "jnp" and config.compact_shade
 
     if spec.two_pass:
         u1 = ml.shadow_pass_1_prepare(config, light_direction, look_at, up, jnp)
         setup1 = triangle_setup(
             geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
         )
-        shadow_local, _, _, _, ovf1 = _raster_shard(
-            setup1, config, rows_per_shard, y0, backend, spec=(), emit_idx=False
-        )
-        ovf1 = ovf1 | setup1["coord_overflow"]
-        # The only cross-device dependency: assemble the full shadow map.
-        shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
         uniforms = ml.shadow_pass_2_prepare(
             config, light_direction, look_from, look_at, up, jnp
         )
         uniforms["shadow_matrix"] = u1["shadow_matrix"]
     else:
         uniforms = ml.default_prepare(config, light_direction, look_from, look_at, up, jnp)
-        shadow_local = jnp.full((rows_per_shard, W), ml.F32_MIN, jnp.float32)
-        shadow_full = None
+        setup1 = None
         ovf1 = jnp.asarray(False)
 
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
     vspec = VARYING_SPECS[pipeline]
-    # Same shade strategy as the single-device path (frame.render_frame):
-    # strip-compacted shading on the kernel backends — each device compacts
-    # and shades only its own slab's covered strips — varying planes or the
-    # full-slab gather path otherwise.
-    compact = backend != "jnp" and config.compact_shade
-    if compact:
-        kspec = ()
-    else:
-        kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
     from ..pipelines.frame import _strip_mask_len
 
-    z, idx, varys, strips, ovf2 = _raster_shard(
-        setup, config, rows_per_shard, y0, backend, spec=kspec, emit_z=needs_z,
-        emit_strips=_strip_mask_len(config) if compact else 0,
+    # Same shade/raster strategy as the single-device path
+    # (frame.render_frame): fused two-pass raster when the z target is not
+    # needed, strip-compacted shading on the kernel backends — each device
+    # compacts and shades only its own slab's covered strips.
+    fused = (
+        spec.two_pass
+        and compact
+        and config.fuse_passes
+        and not needs_z
+        and backend != "jnp"
+        and _idx_dtype(setup, config) == "int32"
     )
-    ovf2 = ovf2 | setup["coord_overflow"]
+    if fused:
+        local_cfg = dataclasses.replace(config, height=rows_per_shard)
+        row_off = y0 // config.tile_h
+        r1, t1, s1, ovfb1 = bin_triangles(
+            setup1, local_cfg, (), row_tile_offset=row_off
+        )
+        r2, t2, s2, ovfb2 = bin_triangles(
+            setup, local_cfg, (), row_tile_offset=row_off
+        )
+        shadow_p, idx_p = rasterize_pallas_fused(
+            r1, s1, t1, r2, s2, t2,
+            jnp.reshape(row_off, (1,)).astype(jnp.int32),
+            tile_h=local_cfg.tile_h,
+            tile_w=local_cfg.tile_w,
+            tiles_y=local_cfg.tiles_y,
+            tiles_x=local_cfg.tiles_x,
+            group=config.raster_group,
+            interpret=(backend == "pallas_interpret"),
+        )
+        shadow_local = shadow_p[:rows_per_shard, :W]
+        idx = idx_p[:rows_per_shard, :W]
+        z, varys, strips = None, None, None
+        ovf1 = ovfb1 | setup1["coord_overflow"]
+        ovf2 = ovfb2 | setup["coord_overflow"]
+        shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
+    else:
+        if spec.two_pass:
+            shadow_local, _, _, _, ovf1 = _raster_shard(
+                setup1, config, rows_per_shard, y0, backend, spec=(), emit_idx=False
+            )
+            ovf1 = ovf1 | setup1["coord_overflow"]
+            # The only cross-device dependency: assemble the full shadow map.
+            shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
+        else:
+            shadow_local = jnp.full((rows_per_shard, W), ml.F32_MIN, jnp.float32)
+            shadow_full = None
+        if compact:
+            kspec = ()
+        else:
+            kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
+        z, idx, varys, strips, ovf2 = _raster_shard(
+            setup, config, rows_per_shard, y0, backend, spec=kspec, emit_z=needs_z,
+            emit_strips=_strip_mask_len(config) if compact else 0,
+        )
+        ovf2 = ovf2 | setup["coord_overflow"]
 
     if _needs_pack(textures, pipeline):
         textures = shaders.pack_textures(

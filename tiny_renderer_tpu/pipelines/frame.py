@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..ops import mathlib as ml
 from ..ops.binning import bin_triangles, compact_scatter
 from ..ops.raster_jnp import rasterize_jnp
-from ..ops.raster_pallas import rasterize_pallas
+from ..ops.raster_pallas import rasterize_pallas, rasterize_pallas_fused
 from ..ops.vertex import triangle_setup
 from . import shaders
 from .shaders import VARYING_SPECS, compute_varyings, kernel_varying_spec
@@ -264,15 +264,12 @@ def render_frame(
             "overflow": jnp.asarray(False),
         }
 
+    compact = backend != "jnp" and config.compact_shade
     if spec.two_pass:
         u1 = ml.shadow_pass_1_prepare(config, light_direction, look_at, up, jnp)
         setup1 = triangle_setup(
             geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
         )
-        shadow_z, _, _, _, ovf1 = _rasterize(
-            setup1, config, backend, spec=(), emit_idx=False
-        )
-        ovf1 = ovf1 | setup1["coord_overflow"]
         uniforms = ml.shadow_pass_2_prepare(
             config, light_direction, look_from, look_at, up, jnp
         )
@@ -281,30 +278,64 @@ def render_frame(
         uniforms = ml.default_prepare(
             config, light_direction, look_from, look_at, up, jnp
         )
-        shadow_z = jnp.full((H, W), ml.F32_MIN, jnp.float32)
+        setup1 = None
         ovf1 = jnp.asarray(False)
 
     setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
-    # Strip-compacted shading (default on the kernel backends): the raster
-    # kernel emits z+idx only and the gather-path shade runs on covered
-    # strips.  Bit-identical to the varying-plane shade on the same raster
-    # (tests/test_pipelines_parity.py); vs the jnp backend only the usual
-    # raster tie-flip budget applies.  Occlusion too: at strip_len=16 the
-    # strip machinery tracks coverage within ~20% of exact per-pixel
-    # compaction with far less scaffolding (29.0 -> 25.0 ms measured; the
-    # bespoke per-pixel occlusion path was removed).
-    compact = backend != "jnp" and config.compact_shade
-    if compact:
-        kspec = ()  # raster emits z+idx only; shading re-derives varyings
-    else:
-        kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
-    # The camera pass's z target is consumed only by callers (debug views,
-    # parity checks) — shading reads idx / varying planes.
-    z, idx, varys, strips, ovf2 = _rasterize(
-        setup, config, backend, spec=kspec, emit_z=needs_z,
-        emit_strips=_strip_mask_len(config) if compact else 0,
+
+    # Fused two-pass raster: both passes' depth loops in ONE pallas_call
+    # (halves the ~1 us/grid-step fixed cost that dominates the raster
+    # stage on the dev chip).  Applies on the strip-shade path when the
+    # camera z target is not consumed (the burst posture).
+    fused = (
+        spec.two_pass
+        and compact
+        and config.fuse_passes
+        and not needs_z
+        and backend != "jnp"
+        and _idx_dtype(setup, config) == "int32"
     )
-    ovf2 = ovf2 | setup["coord_overflow"]
+    if fused:
+        r1, t1, s1, ovfb1 = bin_triangles(setup1, config, ())
+        r2, t2, s2, ovfb2 = bin_triangles(setup, config, ())
+        shadow_zp, idxp = rasterize_pallas_fused(
+            r1, s1, t1, r2, s2, t2,
+            tile_h=config.tile_h,
+            tile_w=config.tile_w,
+            tiles_y=config.tiles_y,
+            tiles_x=config.tiles_x,
+            group=config.raster_group,
+            interpret=(backend == "pallas_interpret"),
+        )
+        shadow_z = shadow_zp[:H, :W]
+        idx = idxp[:H, :W]
+        z, varys, strips = None, None, None
+        ovf1 = ovfb1 | setup1["coord_overflow"]
+        ovf2 = ovfb2 | setup["coord_overflow"]
+    else:
+        if spec.two_pass:
+            shadow_z, _, _, _, ovf1 = _rasterize(
+                setup1, config, backend, spec=(), emit_idx=False
+            )
+            ovf1 = ovf1 | setup1["coord_overflow"]
+        else:
+            shadow_z = jnp.full((H, W), ml.F32_MIN, jnp.float32)
+        # Strip-compacted shading (default on the kernel backends): the
+        # raster kernel emits z+idx only and the gather-path shade runs on
+        # covered strips.  Bit-identical to the varying-plane shade on the
+        # same raster (tests/test_pipelines_parity.py); vs the jnp backend
+        # only the usual raster tie-flip budget applies.
+        if compact:
+            kspec = ()  # raster emits z+idx only; shading re-derives varyings
+        else:
+            kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
+        # The camera pass's z target is consumed only by callers (debug
+        # views, parity checks) — shading reads idx / varying planes.
+        z, idx, varys, strips, ovf2 = _rasterize(
+            setup, config, backend, spec=kspec, emit_z=needs_z,
+            emit_strips=_strip_mask_len(config) if compact else 0,
+        )
+        ovf2 = ovf2 | setup["coord_overflow"]
 
     if compact:
         if _pk_needed(textures, pipeline):

@@ -49,9 +49,12 @@ def _prefix_fn(pipeline, config, backend, stage):
 
     def fn(geom, textures, light_direction, look_from, look_at, up):
         if stage == "full":
+            # Burst posture (needs_z=False): the program being attributed
+            # is the headline path, incl. the fused two-pass raster.
             out = render_frame(
                 geom, textures, light_direction, look_from, look_at, up,
                 pipeline=pipeline, config=config, backend=backend,
+                needs_z=False,
             )
             return _checksum(out["frame"])
 
@@ -100,12 +103,30 @@ def _prefix_fn(pipeline, config, backend, stage):
             return _checksum(*outs)
 
         # stage == "raster": run both passes' rasters, skip shading.
-        # Match render_frame's emit flags: the shadow pass is z-only; the
-        # camera pass on the compact path emits idx only (z unwritten).
+        # Match the headline path's emit flags: fused two-pass kernel when
+        # enabled; otherwise shadow pass z-only, camera pass idx-only.
+        compact = backend != "jnp" and config.compact_shade
+        if (
+            spec.two_pass and compact and config.fuse_passes
+            and backend != "jnp"
+        ):
+            from ..ops.binning import bin_triangles
+            from ..ops.raster_pallas import rasterize_pallas_fused
+
+            (s1, _), (s2, _) = setups
+            r1, t1, st1, _ = bin_triangles(s1, config, ())
+            r2, t2, st2, _ = bin_triangles(s2, config, ())
+            shadow_z, idx = rasterize_pallas_fused(
+                r1, st1, t1, r2, st2, t2,
+                tile_h=config.tile_h, tile_w=config.tile_w,
+                tiles_y=config.tiles_y, tiles_x=config.tiles_x,
+                group=config.raster_group,
+                interpret=(backend == "pallas_interpret"),
+            )
+            return _checksum(shadow_z, idx)
         outs = []
         for i, (s, sp) in enumerate(setups):
             shadow_pass = spec.two_pass and i == 0
-            compact = backend != "jnp" and config.compact_shade
             z, idx, varys, strips, _ = _rasterize(
                 s, config, backend, spec=sp,
                 emit_idx=not shadow_pass,
