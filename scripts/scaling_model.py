@@ -27,17 +27,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def predictors(config, T, inc, cov_strips, pipeline="shadow"):
     """Analytic per-stage traffic counts for the compact (strip-shade)
     pallas path at the round-3 configuration (pre-expanded geometry,
-    csr_indirect, strip_mask, burst needs_z=False)."""
+    csr_indirect on, strip_mask off, burst needs_z=False)."""
+    from tiny_renderer_tpu.ops.binning import incidence_cap, record_lanes
+
     Hp, Wp = config.padded_height, config.padded_width
     H, W = config.height, config.width
     SL = config.strip_len
-    cap = -(-min(max(4 * T, 4096), T * config.max_span_y * config.max_span_x) // 8) * 8
-    lanes = 16
+    cap = incidence_cap(T, config)
+    lanes = record_lanes(())
     passes = 2 if pipeline in ("shadow", "occlusion") else 1
     HW = H * W
 
     n_gathers = {"shadow": 3, "occlusion": 1, "phong": 2, "default": 2}[pipeline]
     frag_rows = cov_strips * SL
+
+    # Grid-step count (output-block DMA granularity showed up as the
+    # dominant raster scaling term in the tile sweep).
+    steps = config.tiles_y * config.tiles_x * passes
 
     return {
         # vertex: pure compute over (T,) arrays; no HBM term worth modeling.
@@ -46,22 +52,21 @@ def predictors(config, T, inc, cov_strips, pipeline="shadow"):
         # records (T, lanes) write, csr_tris (cap,) write.
         "bin_sort_elems": 32 * T * passes,
         "bin_bytes": (T * lanes * 4 + cap * 4) * passes,
-        # raster: records+tris DMA, target writes (pass1 z, pass2 idx +
-        # strip-mask write & transpose), candidate evaluations.
+        # raster: records+tris DMA, target writes (pass1 z, pass2 idx),
+        # grid steps, candidate evaluations.
         "ras_bytes": (
             (T * lanes * 4 + cap * 4) * passes  # VMEM DMA of records+ids
             + Hp * Wp * 4              # pass-1 shadow z target
             + Hp * Wp * 4              # pass-2 idx target
-            + 3 * Hp * (Wp // SL) * 4  # strip mask write + transpose rd/wr
         ),
+        "ras_steps": steps,
         "ras_cands": inc * config.tile_h * config.tile_w,
         # shade: per-fragment gather rows (attrs + texture word + shadow
-        # fetch for shadow; 17 for occlusion is separate), strip-mask read,
-        # covered-strip idx gathers + word scatter, acc init/read + frame
-        # write + checksum read.
+        # fetch for shadow), full idx coverage read, covered-strip idx
+        # gathers + word scatter, acc init/read + frame write + checksum.
         "shade_rows": frag_rows * n_gathers + cov_strips * 2,  # idx rows + scatter rows
         "shade_bytes": (
-            H * (W // SL) * 4          # strip-mask coverage read
+            HW * 4                     # idx plane coverage read
             + HW * 4 * 2               # acc words: zeros init + unpack read
             + HW * 3 * 2               # u8 frame write + checksum read
         ),
@@ -134,7 +139,7 @@ def main():
                            strip_batch=512 * 16 // sl)
         scene = Scene(models[asset], "shadow", cfg, backend="pallas")
         inc, cov = coverage_stats(scene)
-        deltas, cumulative = stage_breakdown(scene, iters=9)
+        deltas, cumulative = stage_breakdown(scene, iters=24)
         T = models[asset].num_triangles
         rec = {
             "asset": asset, "size": size, "strip_len": sl, "T": T,

@@ -26,7 +26,7 @@ def main():
         config = RenderConfig(width=800, height=800)
         scene = Scene(model, pipeline, config, backend="pallas")
         print(f"=== diablo {pipeline} 800x800 (pallas) ===", flush=True)
-        print_stage_breakdown(scene, iters=6)
+        print_stage_breakdown(scene, iters=24)
         sys.stdout.flush()
     print("PROBE-DONE", flush=True)
 
