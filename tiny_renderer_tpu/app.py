@@ -247,6 +247,8 @@ def run_interactive(scene: Scene, args, viewer=None, clock=time.monotonic) -> np
                 )
                 return run_headless(scene, args)
 
+    from .utils.transfer import fetch
+
     cfg = scene.config
     state = InputState(
         args.camera_angle, args.light_angle, cfg.camera_speed, cfg.light_speed
@@ -255,15 +257,24 @@ def run_interactive(scene: Scene, args, viewer=None, clock=time.monotonic) -> np
     fps = FpsCounter(enabled=not args.no_fps)
     frame_time = 0.0
     frame = None
+    prev_dev = None
     while not state.exit and viewer.alive:
         t0 = clock()
         state.integrate(frame_time)
         look_from, look_at, up, light = _angles_to_vectors(state.camera, state.light)
         scene.set_camera(look_from, look_at, up)
         scene.set_light_direction(light)
-        scene.render()
-        frame = scene.get_frame_buffer()
+        out = scene.render()  # async dispatch of frame N
+        if prev_dev is None:
+            prev_dev = out["frame"]  # startup: present the first frame
+        # Pipelined presentation: blit frame N-1 while N renders — the
+        # device->host fetch overlaps the next frame's compute (measured
+        # 113 -> 85 ms/frame on the dev tunnel, scripts/blit_probe.py).
+        # One frame of display latency vs the reference (DESIGN.md
+        # divergence #11); input handling cadence is unchanged.
+        frame = fetch(prev_dev)[::-1]
         viewer.show(frame)
+        prev_dev = out["frame"]
         fps.tick()
         frame_time = clock() - t0
     viewer.close()
