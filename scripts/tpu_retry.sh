@@ -5,15 +5,17 @@
 # wedges forever before its first device op (see CLAUDE.md). The wrapped
 # command must print TUNNEL-LIVE after a first trivial device op (bench.py
 # and the scripts here do).
-# Retries if the TUNNEL-LIVE sentinel doesn't appear within 120s (axon wedge).
+# Retries if the TUNNEL-LIVE sentinel doesn't appear within 300s (axon
+# wedge; the window was 120s, but slow tunnel phases take longer than
+# that to hand out the first device op — killing those wastes attempts).
 LOG=$1; shift
 shift  # legacy pattern arg, unused
-for attempt in 1 2 3 4 5; do
+for attempt in 1 2 3 4 5 6 7; do
   : > "$LOG"
   "$@" >> "$LOG" 2>&1 &
   PID=$!
   live=0
-  for i in $(seq 1 24); do
+  for i in $(seq 1 60); do
     sleep 5
     if ! kill -0 $PID 2>/dev/null; then live=2; break; fi
     if grep -q TUNNEL-LIVE "$LOG"; then live=1; break; fi
