@@ -183,6 +183,20 @@ def test_viewer_fallback_chain(small_scene, monkeypatch):
     assert frame is not None and frame.shape == (64, 64, 3)
 
 
+def test_pipelined_presentation_shows_previous_frame(small_scene):
+    """The interactive loop presents frame N-1 while N renders (DESIGN.md
+    divergence #11): iteration 1 re-shows the startup frame, and from
+    iteration 2 on each shown frame is the previous iteration's render."""
+    viewer = FakeViewer({0: [("press", "d")], 3: [("press", "escape")]})
+    run_interactive(small_scene, _args(), viewer=viewer, clock=FakeClock())
+    assert viewer.frames_shown == 4
+    # Startup: iteration 0 presents f0; iteration 1 presents f0 again.
+    np.testing.assert_array_equal(viewer.shown[1], viewer.shown[0])
+    # Camera moved while 'd' was held -> f1 differs from f0; iteration 2
+    # shows f1.
+    assert (viewer.shown[2] != viewer.shown[1]).any()
+
+
 def test_input_state_unit():
     s = InputState(0.5, -0.25, camera_speed=3.0, light_speed=2.0)
     s.on_press("d")

@@ -80,6 +80,24 @@ def test_app_rejects_bad_pipeline():
         main(["-s", "nope"])
 
 
+def test_app_ignores_unknown_args(tmp_path, capsys):
+    """The reference silently ignores unknown argv tokens (main.rs:16-26);
+    we ignore them with a stderr warning (divergence #9)."""
+    from tiny_renderer_tpu.app import main
+
+    out = str(tmp_path / "frame.png")
+    rc = main([
+        "-p", "/root/reference/assets/african_head", "-s", "default",
+        "--size", "64", "64", "--frames", "1", "--backend", "jnp",
+        "--save", out, "--bogus-flag", "junkvalue",
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
+    captured = capsys.readouterr()
+    assert "ignoring unrecognized arguments" in captured.err
+    assert "--bogus-flag" in captured.err
+
+
 def test_stage_breakdown(head_model, capsys):
     """--timing's per-stage breakdown: all stages measured, deltas sane."""
     from tiny_renderer_tpu import RenderConfig, Scene
