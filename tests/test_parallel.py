@@ -217,6 +217,40 @@ def test_batch_sharded_needs_z_false(head_scene_data, camera, eight_devices):
     np.testing.assert_array_equal(np.asarray(out["frame"]), np.asarray(ref["frame"]))
 
 
+@pytest.mark.parametrize("backend", ["jnp", "pallas_interpret"])
+@pytest.mark.parametrize("pipeline", ["phong", "shadow"])
+def test_triangle_sharded_vertex_bit_identical(
+    head_scene_data, camera, pipeline, backend, eight_devices
+):
+    """shard_triangles (vertex stage sharded over the triangle axis +
+    all_gather'ed setup) must be bit-identical to the replicated vertex
+    stage: the gathered setup preserves original triangle order, so every
+    downstream stage sees the same data.  head's T=2492 is not divisible
+    by 8, so the padded-tail path is exercised."""
+    import dataclasses
+
+    cfg = RenderConfig(width=64, height=64, tile_h=8, tri_block=32)
+    mesh = make_row_mesh(eight_devices, batch=1)
+    gj, tj, *cam = _args(head_scene_data, camera)
+    outs = {}
+    for v in (False, True):
+        c = dataclasses.replace(cfg, shard_triangles=v)
+        outs[v] = render_frame_sharded(
+            gj, tj, *cam, pipeline=pipeline, config=c, mesh=mesh,
+            backend=backend,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True]["frame"]), np.asarray(outs[False]["frame"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True]["z"]), np.asarray(outs[False]["z"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True]["shadow"]), np.asarray(outs[False]["shadow"])
+    )
+    assert not bool(np.asarray(outs[True]["overflow"]))
+
+
 @pytest.mark.slow
 def test_flagship_shape_sharded_bit_equal(diablo_scene_data, camera, eight_devices):
     """The actual headline workload — diablo shadow 800x800 — sharded over

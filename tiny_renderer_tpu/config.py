@@ -143,6 +143,16 @@ class RenderConfig:
     # per-pixel idx gather + word scatter outweigh the row savings.
     strip_len: int = 16
 
+    # Shard the TRIANGLE axis of the vertex stage across the "rows" mesh
+    # axis (parallel/sharding._tri_sharded_setup): each device transforms
+    # its contiguous T/n slice and the per-triangle setup is all_gather'ed
+    # before binning.  Row sharding otherwise replicates the whole vertex
+    # stage per device — the dominant replicated work for geometry-heavy
+    # scenes.  Output is bit-identical (original triangle order and
+    # tie-break preserved; tests pin it); default off because the
+    # reference scenes (2.5-5k triangles) are far below the crossover.
+    shard_triangles: bool = False
+
     # Camera/light orbit speeds in rad/s (src/app.rs:12-13).
     camera_speed: float = 3.0
     light_speed: float = 3.0

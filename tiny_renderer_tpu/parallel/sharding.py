@@ -102,9 +102,57 @@ def _raster_shard(setup, config, rows_per_shard, y0, backend, spec=(),
     )
 
 
+def _tri_sharded_setup(geom, uniforms, config, n_rows, *, matrix_key="vpmv",
+                       cull=True, needs=()):
+    """Vertex stage sharded over the triangle axis (the TP analog).
+
+    Row sharding replicates the whole vertex stage on every device; for
+    geometry-heavy scenes that is the dominant replicated work.  Here each
+    device transforms only its contiguous T/n slice of the triangles and
+    the per-triangle setup is all_gather'ed over "rows" before binning
+    (every triangle can land in any row window).  Communication is the
+    (T, ~40 f32) setup — small next to the per-shard compute it removes
+    at large T.
+
+    The gathered array keeps the ORIGINAL triangle order (shard d owns
+    originals [d*Tp, (d+1)*Tp); padding rows carry global ids >= T and
+    are marked invalid), so the reference's polygon-order tie-break is
+    untouched.  Returns (setup, coord_overflow) where setup arrays have
+    n*Tp rows (inert padded tail).
+    """
+    d = jax.lax.axis_index("rows")
+    T = geom["pos_idx"].shape[0]
+    Tp = -(-T // n_rows)
+
+    def tri_slice(a):
+        pad = [(0, n_rows * Tp - T)] + [(0, 0)] * (a.ndim - 1)
+        return jax.lax.dynamic_slice_in_dim(
+            jnp.pad(a, pad, mode="edge"), d * Tp, Tp
+        )
+
+    local = dict(geom)
+    for k in ("pos_idx", "tex_idx", "normal_idx", "pos_tri", "uv_tri",
+              "normal_tri"):
+        if k in local:
+            local[k] = tri_slice(local[k])
+    setup = triangle_setup(
+        local, uniforms, config, matrix_key=matrix_key, cull=cull,
+        needs=needs, xp=jnp,
+    )
+    gid = d * Tp + jnp.arange(Tp, dtype=jnp.int32)
+    setup["valid"] = setup["valid"] & (gid < T)
+    ovf = jnp.any(jax.lax.all_gather(setup.pop("coord_overflow"), "rows"))
+    setup = {
+        k: jax.lax.all_gather(v, "rows").reshape((-1,) + v.shape[1:])
+        for k, v in setup.items()
+    }
+    setup["coord_overflow"] = ovf
+    return setup
+
+
 def _render_shard(geom, textures, light_direction, look_from, look_at, up,
                   *, pipeline, config, rows_per_shard, backend="jnp",
-                  needs_z=True):
+                  needs_z=True, n_rows=1):
     """Render this device's row slab.  Runs inside shard_map with axis "rows".
 
     needs_z=False (static) drops the camera pass's z output — on the kernel
@@ -118,10 +166,16 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
     y0 = d * rows_per_shard
     compact = backend != "jnp" and config.compact_shade
 
+    if config.shard_triangles and n_rows > 1:
+        make_setup = functools.partial(_tri_sharded_setup, n_rows=n_rows)
+    else:
+        def make_setup(geom, uniforms, config, **kw):
+            return triangle_setup(geom, uniforms, config, xp=jnp, **kw)
+
     if spec.two_pass:
         u1 = ml.shadow_pass_1_prepare(config, light_direction, look_at, up, jnp)
-        setup1 = triangle_setup(
-            geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=(), xp=jnp
+        setup1 = make_setup(
+            geom, u1, config, matrix_key="shadow_matrix", cull=False, needs=()
         )
         uniforms = ml.shadow_pass_2_prepare(
             config, light_direction, look_from, look_at, up, jnp
@@ -132,7 +186,7 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         setup1 = None
         ovf1 = jnp.asarray(False)
 
-    setup = triangle_setup(geom, uniforms, config, needs=spec.needs, xp=jnp)
+    setup = make_setup(geom, uniforms, config, needs=spec.needs)
     vspec = VARYING_SPECS[pipeline]
     from ..pipelines.frame import _strip_mask_len
 
@@ -260,7 +314,7 @@ def render_frame_sharded(
 
     body = functools.partial(
         _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per,
-        backend=backend, needs_z=needs_z,
+        backend=backend, needs_z=needs_z, n_rows=n_rows,
     )
     rep = P()
     row_plane = P("rows", None)
@@ -313,7 +367,7 @@ def render_batch_sharded(
     def body(geom, textures, lights, froms, look_at, up):
         shard = functools.partial(
             _render_shard, pipeline=pipeline, config=config, rows_per_shard=rows_per,
-            backend=backend, needs_z=needs_z,
+            backend=backend, needs_z=needs_z, n_rows=n_rows,
         )
         outs = jax.vmap(
             lambda l, f: shard(geom, textures, l, f, look_at, up)
