@@ -13,6 +13,11 @@ parallelism onto a jax.sharding.Mesh:
 * "batch" axis — independent frames (animation/orbit burst rendering) shard
   trivially: render_batch_sharded shards a batch of camera/light states over
   "batch" and rows over "rows" on a 2D mesh.
+* triangle axis (config.shard_triangles) — the vertex stage optionally
+  shards the TRIANGLE dimension across the "rows" devices (each transforms
+  a contiguous T/n slice; the per-triangle setup is all_gather'ed before
+  binning) — the TP analog for geometry-heavy scenes, where row sharding
+  would replicate the whole vertex stage per device.
 
 Everything compiles under one jit/shard_map; collectives ride ICI.
 """
@@ -117,8 +122,8 @@ def _tri_sharded_setup(geom, uniforms, config, n_rows, *, matrix_key="vpmv",
     The gathered array keeps the ORIGINAL triangle order (shard d owns
     originals [d*Tp, (d+1)*Tp); padding rows carry global ids >= T and
     are marked invalid), so the reference's polygon-order tie-break is
-    untouched.  Returns (setup, coord_overflow) where setup arrays have
-    n*Tp rows (inert padded tail).
+    untouched.  Returns the full setup dict with n*Tp-row arrays (inert
+    padded tail) and the any-reduced coord_overflow scalar.
     """
     d = jax.lax.axis_index("rows")
     T = geom["pos_idx"].shape[0]
