@@ -89,24 +89,28 @@ def main():
         f"chip health: {mxu_s}, {h['gather_ns_per_row']:.1f} ns/row",
         flush=True,
     )
-    # Current sweep: pass fusion at the round-3 tile default (results in
-    # BASELINE.md; earlier sweeps' variant lists live in git history and
-    # knob_sweep2/3.py).  Interleaved within one process (the chip drifts
-    # across runs — same-state A/B only).
+    # Current sweep: strip_planes (kernel-interpolated varying planes read
+    # at strip granularity by the compacted shade) vs the per-fragment
+    # attribute gather, on the three pipelines where the trade differs
+    # (shadow: 3 planes vs 16 rows/strip + shadow fetch; phong: 2 planes,
+    # one-pass; occlusion: 1 plane + 17-probe loop).  Earlier sweeps'
+    # variant lists live in git history.  Interleaved within one process
+    # (the chip drifts across runs — same-state A/B only).
     from tiny_renderer_tpu.ops.vertex import expand_geometry
 
     gx = expand_geometry(gj, jnp)
     variants = [
-        ("fused t32     ", RenderConfig(), gx),
-        ("unfused t32   ", RenderConfig(fuse_passes=False), gx),
-        ("fused t16     ", RenderConfig(tile_h=16), gx),
-        ("fused t32 occ ", RenderConfig(), gx),  # occlusion below
-        ("unfused t32occ", RenderConfig(fuse_passes=False), gx),
+        ("shadow gather ", RenderConfig(), gx),
+        ("shadow planes ", RenderConfig(strip_planes=True), gx),
+        ("phong  gather ", RenderConfig(), gx),
+        ("phong  planes ", RenderConfig(strip_planes=True), gx),
+        ("occl   gather ", RenderConfig(), gx),
+        ("occl   planes ", RenderConfig(strip_planes=True), gx),
     ]
     results = {name: [] for name, _, _ in variants}
     for rep in range(4):
         for name, cfg, g in variants:
-            pipe = "occlusion" if "occ" in name else "shadow"
+            pipe = name.split()[0].replace("occl", "occlusion")
             ms = measure(cfg, pipeline=pipe, geom=g)
             results[name].append(ms)
             print(f"rep{rep} {name} {ms:7.3f} ms/frame", flush=True)

@@ -132,6 +132,20 @@ class RenderConfig:
     # full-screen varying-plane shade.
     compact_shade: bool = True
     strip_batch: int = 512
+    # Hybrid strip shade: the raster kernel interpolates the pipeline's
+    # varyings (kernel_varying_spec — texel-index / intensity / zfrag
+    # planes) and the strip shade gathers those planes at STRIP granularity
+    # instead of gathering per-triangle attributes per FRAGMENT
+    # (_gather_fragments).  Replaces strip_len gather rows per covered
+    # strip with n_planes (1-3) rows: ~25% fewer shade gather rows for
+    # shadow at SL=16, paid for with the kernel's phase-2 interpolation
+    # loop and the varying planes' HBM writes.  Inapplicable (falls back
+    # to the attribute gather) for pipelines with per-triangle "const"
+    # varyings (darboux) where the const fetch is per-fragment either way.
+    # Bit-identical to the gather path (kernel interpolation and
+    # compute_varyings share the exact-division barycentric expressions;
+    # tests pin it).
+    strip_planes: bool = False
     # Strip length in pixels.  Shorter strips track coverage tighter (fewer
     # wasted gather rows: diablo shadow covers 18% of pixels but 22% of
     # 16-px strips vs 39% of 128-px strips); shade math is reshaped to

@@ -222,6 +222,21 @@ def _gather_fragments(setup, idx, keys, config, y_offset=0, pixel_coords=None):
     return frag
 
 
+def _planes_spec(pipeline, textures, config, backend):
+    """Kernel varying spec for the strip_planes hybrid, or None when it
+    does not apply.
+
+    Pipelines with per-triangle "const" varyings (darboux) are excluded:
+    their constants would still need a per-fragment gather, so emitting
+    the interpolated planes buys nothing over the packed attribute gather.
+    """
+    if backend == "jnp" or not config.strip_planes:
+        return None
+    if any(mode == "const" for (_, _, mode) in VARYING_SPECS[pipeline]):
+        return None
+    return kernel_varying_spec(pipeline, textures)
+
+
 def _shade_jnp_path(setup, idx, pipeline, config, y_offset=0):
     """Gather + compute_varyings for the non-Pallas backends."""
     frag = _gather_fragments(setup, idx, _GATHER_KEYS[pipeline], config, y_offset)
@@ -265,6 +280,7 @@ def render_frame(
         }
 
     compact = backend != "jnp" and config.compact_shade
+    pspec = _planes_spec(pipeline, textures, config, backend) if compact else None
     if spec.two_pass:
         u1 = ml.shadow_pass_1_prepare(config, light_direction, look_at, up, jnp)
         setup1 = triangle_setup(
@@ -294,6 +310,7 @@ def render_frame(
         and not needs_z
         and backend != "jnp"
         and _idx_dtype(setup, config) == "int32"
+        and pspec is None  # the fused kernel has no varying-plane phase
     )
     if fused:
         r1, t1, s1, ovfb1 = bin_triangles(setup1, config, ())
@@ -309,7 +326,7 @@ def render_frame(
         )
         shadow_z = shadow_zp[:H, :W]
         idx = idxp[:H, :W]
-        z, varys, strips = None, None, None
+        z, varys, strips, kspec = None, None, None, ()
         ovf1 = ovfb1 | setup1["coord_overflow"]
         ovf2 = ovfb2 | setup["coord_overflow"]
     else:
@@ -326,7 +343,10 @@ def render_frame(
         # same raster (tests/test_pipelines_parity.py); vs the jnp backend
         # only the usual raster tie-flip budget applies.
         if compact:
-            kspec = ()  # raster emits z+idx only; shading re-derives varyings
+            # Raster emits z+idx only and the shade re-derives varyings by
+            # attribute gather — unless strip_planes, where the kernel also
+            # interpolates the varying planes the strip shade will consume.
+            kspec = pspec or ()
         else:
             kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
         # The camera pass's z target is consumed only by callers (debug
@@ -342,7 +362,7 @@ def render_frame(
             textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
         frame = _shade_strips(
             setup, idx, pipeline, uniforms, textures, config, shadow_z,
-            strip_mask=strips,
+            strip_mask=strips, planes=varys, planes_spec=kspec,
         )
         return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
 
@@ -382,7 +402,7 @@ def _add_const_gather(frag, kspec, vspec, setup, idx):
 
 
 def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
-                  y_offset=0, strip_mask=None):
+                  y_offset=0, strip_mask=None, planes=None, planes_spec=()):
     """Strip-compacted shading: the gather-bound stage runs only on covered
     config.strip_len-pixel strips.
 
@@ -407,6 +427,12 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
     (_gather_fragments + compute_varyings + spec.shade) evaluated on
     (rows, 128) fragment blocks: elementwise-identical ops to the jnp
     backend, so results stay bit-identical.
+
+    planes/planes_spec (config.strip_planes): kernel-interpolated varying
+    planes (n_planes, H, W).  The shade then gathers n_planes strip rows
+    per covered strip instead of strip_len attribute rows
+    (_gather_fragments) — the kernel's interpolation is expression-
+    identical to compute_varyings, so output stays bit-identical.
 
     Returns the final (H, W, 3) u8 frame (uncovered pixels black).
     """
@@ -451,6 +477,16 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, SL), 1)
     keys = _GATHER_KEYS[pipeline]
 
+    if planes is not None:
+        P = planes.shape[0]
+        vflat = planes.reshape(P, -1)
+        if n_strips * SL != HW:
+            vflat = jnp.concatenate(
+                [vflat, jnp.zeros((P, n_strips * SL - HW), planes.dtype)],
+                axis=1,
+            )
+        vstrips = vflat.reshape(P, n_strips, SL)
+
     def shade_batch(k, acc):
         ids = jax.lax.dynamic_slice_in_dim(comp, k * B, B)  # (B,)
         safe_ids = jnp.minimum(ids, n_strips - 1)
@@ -460,10 +496,23 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
         )
         px = base % W
         py = base // W + y_offset
-        frag = _gather_fragments(
-            setup, sidx, keys, config, pixel_coords=(px, py)
-        )
-        varys = compute_varyings(frag, vspec, jnp)
+        if planes is None:
+            frag = _gather_fragments(
+                setup, sidx, keys, config, pixel_coords=(px, py)
+            )
+            varys = compute_varyings(frag, vspec, jnp)
+        else:
+            # n_planes strip-row gathers per batch instead of strip_len
+            # attribute rows: pv[p, j] is covered strip j's plane p.
+            pv = vstrips[:, safe_ids].reshape(P, R, 128)
+            varys = {}
+            p = 0
+            for name, comps, _mode in planes_spec:
+                if comps == 1:
+                    varys[name] = pv[p]
+                else:
+                    varys[name] = jnp.moveaxis(pv[p : p + comps], 0, -1)
+                p += comps
         varys["x"] = px
         varys["y"] = py
         if spec.two_pass:
