@@ -62,6 +62,36 @@ def test_planes_spec_gating(scene):
     ]
 
 
+def test_strip_planes_sharded_bit_identical(scene, camera):
+    """The sharded slab shade honors strip_planes (parallel/sharding.py
+    mirrors frame.render_frame's strategy) and stays bit-identical to the
+    attribute-gather sharded render."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiny_renderer_tpu.parallel import make_row_mesh, render_frame_sharded
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_row_mesh(devs[:8], batch=1)
+    geom, tex = scene
+    gj = jax.tree.map(jnp.asarray, geom)
+    tj = jax.tree.map(jnp.asarray, tex)
+    cam = [jnp.asarray(v) for v in camera]
+    cfg = dataclasses.replace(CFG, width=64, height=64, tile_h=8, strip_batch=32)
+    cfgp = dataclasses.replace(cfg, strip_planes=True)
+    a = render_frame_sharded(
+        gj, tj, *cam, pipeline="shadow", config=cfg, mesh=mesh,
+        backend="pallas_interpret",
+    )
+    b = render_frame_sharded(
+        gj, tj, *cam, pipeline="shadow", config=cfgp, mesh=mesh,
+        backend="pallas_interpret",
+    )
+    np.testing.assert_array_equal(np.asarray(a["frame"]), np.asarray(b["frame"]))
+
+
 def test_strip_planes_with_strip_mask(scene, camera):
     """strip_planes composes with the kernel-emitted strip coverage plane."""
     geom, tex = scene

@@ -139,12 +139,17 @@ class RenderConfig:
     # (_gather_fragments).  Replaces strip_len gather rows per covered
     # strip with n_planes (1-3) rows: ~25% fewer shade gather rows for
     # shadow at SL=16, paid for with the kernel's phase-2 interpolation
-    # loop and the varying planes' HBM writes.  Inapplicable (falls back
-    # to the attribute gather) for pipelines with per-triangle "const"
-    # varyings (darboux) where the const fetch is per-fragment either way.
-    # Bit-identical to the gather path (kernel interpolation and
-    # compute_varyings share the exact-division barycentric expressions;
-    # tests pin it).
+    # loop and the varying planes' HBM writes.  Measured SLOWER on the dev
+    # chip (healthy state, 7.1 ns/row, median-of-4x5 interleaved): shadow
+    # 4.88 -> 5.22, phong 3.07 -> 3.28, occlusion 22.83 -> 23.17 ms — the
+    # kernel's per-grid-step vary phase + plane DMA outweigh the saved
+    # rows, consistent with the ~1 us/grid-step OUTPUT-DMA cost model.
+    # Kept default-off, bit-identity-pinned (tests/test_strip_planes.py:
+    # kernel interpolation and compute_varyings share the exact-division
+    # barycentric expressions) for hardware where gather rows cost more
+    # relative to DMA.  Inapplicable (falls back to the attribute gather)
+    # for pipelines with per-triangle "const" varyings (darboux) where the
+    # const fetch is per-fragment either way.
     strip_planes: bool = False
     # Strip length in pixels.  Shorter strips track coverage tighter (fewer
     # wasted gather rows: diablo shadow covers 18% of pixels but 22% of

@@ -193,12 +193,15 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
 
     setup = make_setup(geom, uniforms, config, needs=spec.needs)
     vspec = VARYING_SPECS[pipeline]
-    from ..pipelines.frame import _strip_mask_len
+    from ..pipelines.frame import _planes_spec, _strip_mask_len
 
     # Same shade/raster strategy as the single-device path
     # (frame.render_frame): fused two-pass raster when the z target is not
     # needed, strip-compacted shading on the kernel backends — each device
-    # compacts and shades only its own slab's covered strips.
+    # compacts and shades only its own slab's covered strips; with
+    # config.strip_planes the kernel interpolates the varying planes and
+    # the slab shade reads them at strip granularity.
+    pspec = _planes_spec(pipeline, textures, config, backend) if compact else None
     fused = (
         spec.two_pass
         and compact
@@ -206,6 +209,7 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         and not needs_z
         and backend != "jnp"
         and _idx_dtype(setup, config) == "int32"
+        and pspec is None  # the fused kernel has no varying-plane phase
     )
     if fused:
         local_cfg = dataclasses.replace(config, height=rows_per_shard)
@@ -228,7 +232,7 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         )
         shadow_local = shadow_p[:rows_per_shard, :W]
         idx = idx_p[:rows_per_shard, :W]
-        z, varys, strips = None, None, None
+        z, varys, strips, kspec = None, None, None, ()
         ovf1 = ovfb1 | setup1["coord_overflow"]
         ovf2 = ovfb2 | setup["coord_overflow"]
         shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
@@ -244,7 +248,7 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
             shadow_local = jnp.full((rows_per_shard, W), ml.F32_MIN, jnp.float32)
             shadow_full = None
         if compact:
-            kspec = ()
+            kspec = pspec or ()
         else:
             kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
         z, idx, varys, strips, ovf2 = _raster_shard(
@@ -261,7 +265,7 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         frame = _shade_strips(
             setup, idx, pipeline, uniforms, textures, config,
             shadow_full if spec.two_pass else None, y_offset=y0,
-            strip_mask=strips,
+            strip_mask=strips, planes=varys, planes_spec=kspec,
         )
     else:
         if varys is None:
