@@ -98,7 +98,7 @@ def main():
     # (the chip drifts across runs — same-state A/B only).
     from tiny_renderer_tpu.ops.vertex import expand_geometry
 
-    gx = expand_geometry(gj, jnp)
+    gx = expand_geometry(gj)
     variants = [
         ("shadow gather ", RenderConfig(), gx),
         ("shadow planes ", RenderConfig(strip_planes=True), gx),

@@ -42,8 +42,7 @@ def main():
             "pos_idx": jnp.asarray(model.mesh.pos_idx),
             "tex_idx": jnp.asarray(model.mesh.tex_idx),
             "normal_idx": jnp.asarray(model.mesh.normal_idx),
-        },
-        jnp,
+        }
     )
     tj = prepack_textures(
         {

@@ -129,6 +129,36 @@ def test_key_integration_matches_reference(small_scene, monkeypatch):
         )
 
 
+def test_returns_final_frame_not_pipelined_previous(small_scene):
+    """Pipelined presentation shows frame N-1 while N renders, but on exit
+    the RETURNED frame (what --interactive --save writes) must be the last
+    rendered frame — the one reflecting the final input state, matching
+    the reference's contract (src/app.rs:221-224)."""
+    viewer = FakeViewer(
+        {
+            0: [("press", "d")],  # camera moves every subsequent frame
+            3: [("press", "escape")],
+        }
+    )
+    frame = run_interactive(small_scene, _args(), viewer=viewer, clock=FakeClock())
+    # The final camera pose (frame 3) was never shown (pipelining lags one
+    # frame) but must be what run_interactive returns.  Render it
+    # independently for comparison.
+    cfg = small_scene.config
+    a = 3 * cfg.camera_speed * DT  # integrated over frames 1-3
+    small_scene.set_camera(
+        np.array([math.sin(a), 0.0, math.cos(a)], np.float32),
+        np.zeros(3, np.float32),
+        np.array([0.0, 1.0, 0.0], np.float32),
+    )
+    small_scene.set_light_direction(np.array([0.0, 0.0, 1.0], np.float32))
+    small_scene.render()
+    expected = small_scene.get_frame_buffer()
+    np.testing.assert_array_equal(frame, expected)
+    # ... and it is strictly newer than the last frame the viewer showed.
+    assert not np.array_equal(frame, viewer.shown[-1])
+
+
 def test_opposing_keys_cancel(small_scene, monkeypatch):
     calls = _record_scene_calls(small_scene, monkeypatch)
     viewer = FakeViewer(

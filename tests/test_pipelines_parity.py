@@ -114,7 +114,7 @@ def test_pre_expanded_geometry_identical(head_scene_data, camera):
     for backend in ("jnp", "pallas_interpret"):
         fn = make_frame_fn("shadow", cfg, backend=backend)
         a = fn(gj, tj, *args)
-        b = fn(expand_geometry(gj, jnp), tj, *args)
+        b = fn(expand_geometry(gj), tj, *args)
         np.testing.assert_array_equal(np.asarray(a["frame"]), np.asarray(b["frame"]))
         np.testing.assert_array_equal(np.asarray(a["z"]), np.asarray(b["z"]))
         np.testing.assert_array_equal(np.asarray(a["shadow"]), np.asarray(b["shadow"]))

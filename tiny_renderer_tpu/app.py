@@ -277,6 +277,12 @@ def run_interactive(scene: Scene, args, viewer=None, clock=time.monotonic) -> np
         prev_dev = out["frame"]
         fps.tick()
         frame_time = clock() - t0
+    # The loop presents N-1 while N renders, so on exit the final frame
+    # (rendered with the last integrated input state) is still device-side;
+    # fetch it so --save and the return value reflect the state at exit,
+    # matching the reference's non-pipelined contract.
+    if prev_dev is not None:
+        frame = fetch(prev_dev)[::-1]
     viewer.close()
     return frame
 

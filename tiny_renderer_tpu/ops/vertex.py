@@ -53,7 +53,7 @@ def gather_triangles(geom, xp):
     }
 
 
-def expand_geometry(geom, xp):
+def expand_geometry(geom):
     """Geometry dict plus the pre-expanded per-triangle attribute arrays.
 
     One-time cost (three T*3-row gathers, ~0.5 MB for diablo) paid at scene

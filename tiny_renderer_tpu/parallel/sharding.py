@@ -35,16 +35,20 @@ import dataclasses
 from ..ops import mathlib as ml
 from ..ops.binning import bin_triangles
 from ..ops.raster_jnp import rasterize_jnp
-from ..ops.raster_pallas import rasterize_pallas, rasterize_pallas_fused
+from ..ops.raster_pallas import rasterize_pallas
 from ..ops.vertex import triangle_setup
 from ..pipelines import shaders
 from ..pipelines.frame import (
     PIPELINES,
     _add_const_gather,
     _fragments_from_planes,
+    _fused_raster,
     _idx_dtype,
+    _planes_spec,
     _shade_jnp_path,
     _shade_strips,
+    _strip_mask_len,
+    _use_fused_raster,
 )
 from ..pipelines.shaders import VARYING_SPECS, kernel_varying_spec
 
@@ -193,8 +197,6 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
 
     setup = make_setup(geom, uniforms, config, needs=spec.needs)
     vspec = VARYING_SPECS[pipeline]
-    from ..pipelines.frame import _planes_spec, _strip_mask_len
-
     # Same shade/raster strategy as the single-device path
     # (frame.render_frame): fused two-pass raster when the z target is not
     # needed, strip-compacted shading on the kernel backends — each device
@@ -202,39 +204,15 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
     # config.strip_planes the kernel interpolates the varying planes and
     # the slab shade reads them at strip granularity.
     pspec = _planes_spec(pipeline, textures, config, backend) if compact else None
-    fused = (
-        spec.two_pass
-        and compact
-        and config.fuse_passes
-        and not needs_z
-        and backend != "jnp"
-        and _idx_dtype(setup, config) == "int32"
-        and pspec is None  # the fused kernel has no varying-plane phase
-    )
-    if fused:
-        local_cfg = dataclasses.replace(config, height=rows_per_shard)
-        row_off = y0 // config.tile_h
-        r1, t1, s1, ovfb1 = bin_triangles(
-            setup1, local_cfg, (), row_tile_offset=row_off
-        )
-        r2, t2, s2, ovfb2 = bin_triangles(
-            setup, local_cfg, (), row_tile_offset=row_off
-        )
-        shadow_p, idx_p = rasterize_pallas_fused(
-            r1, s1, t1, r2, s2, t2,
-            jnp.reshape(row_off, (1,)).astype(jnp.int32),
-            tile_h=local_cfg.tile_h,
-            tile_w=local_cfg.tile_w,
-            tiles_y=local_cfg.tiles_y,
-            tiles_x=local_cfg.tiles_x,
-            group=config.raster_group,
-            interpret=(backend == "pallas_interpret"),
+    if _use_fused_raster(spec, config, backend, setup, pspec, needs_z):
+        shadow_p, idx_p, ovf1, ovf2 = _fused_raster(
+            setup1, setup, config, backend,
+            local_cfg=dataclasses.replace(config, height=rows_per_shard),
+            row_off=y0 // config.tile_h,
         )
         shadow_local = shadow_p[:rows_per_shard, :W]
         idx = idx_p[:rows_per_shard, :W]
         z, varys, strips, kspec = None, None, None, ()
-        ovf1 = ovfb1 | setup1["coord_overflow"]
-        ovf2 = ovfb2 | setup["coord_overflow"]
         shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
     else:
         if spec.two_pass:

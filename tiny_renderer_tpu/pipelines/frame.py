@@ -147,22 +147,81 @@ def _strip_mask_len(config):
     return 0
 
 
+def _use_fused_raster(spec, config, backend, setup, pspec, needs_z):
+    """Single-source gate for the fused two-pass kernel.
+
+    Used by render_frame, parallel.sharding._render_shard, and
+    profile._prefix_fn — one predicate so the three call sites cannot
+    drift (the fused kernel has no varying-plane phase and only an int32
+    idx scratch, hence the last two conditions).
+    """
+    return (
+        spec.two_pass
+        and backend != "jnp"
+        and config.compact_shade
+        and config.fuse_passes
+        and not needs_z
+        and _idx_dtype(setup, config) == "int32"
+        and pspec is None
+    )
+
+
+def _fused_raster(setup1, setup, config, backend, local_cfg=None, row_off=None):
+    """Bin both passes (no varying lanes) and run the fused two-pass
+    kernel.  local_cfg/row_off select the sharded row-slab variant
+    (parallel.sharding).  Returns (shadow_zp, idxp, ovf1, ovf2) with each
+    pass's coord_overflow folded in; targets are tile-padded — callers
+    crop."""
+    cfg = config if local_cfg is None else local_cfg
+    if row_off is None:
+        r1, t1, s1, ovfb1 = bin_triangles(setup1, cfg, ())
+        r2, t2, s2, ovfb2 = bin_triangles(setup, cfg, ())
+        off = None
+    else:
+        r1, t1, s1, ovfb1 = bin_triangles(setup1, cfg, (), row_tile_offset=row_off)
+        r2, t2, s2, ovfb2 = bin_triangles(setup, cfg, (), row_tile_offset=row_off)
+        off = jnp.reshape(row_off, (1,)).astype(jnp.int32)
+    shadow_zp, idxp = rasterize_pallas_fused(
+        r1, s1, t1, r2, s2, t2, off,
+        tile_h=cfg.tile_h,
+        tile_w=cfg.tile_w,
+        tiles_y=cfg.tiles_y,
+        tiles_x=cfg.tiles_x,
+        group=config.raster_group,
+        interpret=(backend == "pallas_interpret"),
+    )
+    return (
+        shadow_zp,
+        idxp,
+        ovfb1 | setup1["coord_overflow"],
+        ovfb2 | setup["coord_overflow"],
+    )
+
+
 def _pixel_coords(H, W, y_offset=0):
     px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + y_offset
     return px, py
 
 
-def _fragments_from_planes(spec, varys, H, W, y_offset=0):
-    """Fragment dict from the kernel's interpolated varying planes."""
-    frag = {}
+def _unpack_planes(spec, varys):
+    """Varying dict from a plane-major array: walk (name, comps, mode),
+    scalar planes pass through, vector planes get the component axis moved
+    last.  varys is (n_planes, ...) — full frames and strip batches alike."""
+    out = {}
     p = 0
     for name, comps, _mode in spec:
         if comps == 1:
-            frag[name] = varys[p]
+            out[name] = varys[p]
         else:
-            frag[name] = jnp.moveaxis(varys[p : p + comps], 0, -1)
+            out[name] = jnp.moveaxis(varys[p : p + comps], 0, -1)
         p += comps
+    return out
+
+
+def _fragments_from_planes(spec, varys, H, W, y_offset=0):
+    """Fragment dict from the kernel's interpolated varying planes."""
+    frag = _unpack_planes(spec, varys)
     frag["x"], frag["y"] = _pixel_coords(H, W, y_offset)
     return frag
 
@@ -303,32 +362,11 @@ def render_frame(
     # (halves the ~1 us/grid-step fixed cost that dominates the raster
     # stage on the dev chip).  Applies on the strip-shade path when the
     # camera z target is not consumed (the burst posture).
-    fused = (
-        spec.two_pass
-        and compact
-        and config.fuse_passes
-        and not needs_z
-        and backend != "jnp"
-        and _idx_dtype(setup, config) == "int32"
-        and pspec is None  # the fused kernel has no varying-plane phase
-    )
-    if fused:
-        r1, t1, s1, ovfb1 = bin_triangles(setup1, config, ())
-        r2, t2, s2, ovfb2 = bin_triangles(setup, config, ())
-        shadow_zp, idxp = rasterize_pallas_fused(
-            r1, s1, t1, r2, s2, t2,
-            tile_h=config.tile_h,
-            tile_w=config.tile_w,
-            tiles_y=config.tiles_y,
-            tiles_x=config.tiles_x,
-            group=config.raster_group,
-            interpret=(backend == "pallas_interpret"),
-        )
+    if _use_fused_raster(spec, config, backend, setup, pspec, needs_z):
+        shadow_zp, idxp, ovf1, ovf2 = _fused_raster(setup1, setup, config, backend)
         shadow_z = shadow_zp[:H, :W]
         idx = idxp[:H, :W]
         z, varys, strips, kspec = None, None, None, ()
-        ovf1 = ovfb1 | setup1["coord_overflow"]
-        ovf2 = ovfb2 | setup["coord_overflow"]
     else:
         if spec.two_pass:
             shadow_z, _, _, _, ovf1 = _rasterize(
@@ -505,14 +543,7 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
             # n_planes strip-row gathers per batch instead of strip_len
             # attribute rows: pv[p, j] is covered strip j's plane p.
             pv = vstrips[:, safe_ids].reshape(P, R, 128)
-            varys = {}
-            p = 0
-            for name, comps, _mode in planes_spec:
-                if comps == 1:
-                    varys[name] = pv[p]
-                else:
-                    varys[name] = jnp.moveaxis(pv[p : p + comps], 0, -1)
-                p += comps
+            varys = _unpack_planes(planes_spec, pv)
         varys["x"] = px
         varys["y"] = py
         if spec.two_pass:

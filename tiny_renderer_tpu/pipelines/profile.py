@@ -30,7 +30,15 @@ import numpy as np
 from ..ops import mathlib as ml
 from ..ops.vertex import triangle_setup
 from ..utils.timing import StageTimer
-from .frame import PIPELINES, _rasterize, _strip_mask_len, render_frame
+from .frame import (
+    PIPELINES,
+    _fused_raster,
+    _planes_spec,
+    _rasterize,
+    _strip_mask_len,
+    _use_fused_raster,
+    render_frame,
+)
 from .shaders import kernel_varying_spec, VARYING_SPECS
 
 
@@ -74,10 +82,13 @@ def _prefix_fn(pipeline, config, backend, stage):
             )
         # Mirror render_frame's spec selection exactly: the strip-compacted
         # shade (default on kernel backends) bins/rasterizes with NO
-        # varying lanes — profiling the varying-plane spec here would
-        # inflate the bin/raster prefixes and understate the shade delta.
-        if backend != "jnp" and config.compact_shade:
-            kspec = ()
+        # varying lanes (the strip_planes kspec when that knob is on) —
+        # profiling the full varying-plane spec here would inflate the
+        # bin/raster prefixes and understate the shade delta.
+        compact = backend != "jnp" and config.compact_shade
+        pspec = _planes_spec(pipeline, textures, config, backend) if compact else None
+        if compact:
+            kspec = pspec or ()
         elif backend != "jnp":
             kspec = kernel_varying_spec(pipeline, textures)
         else:
@@ -104,24 +115,14 @@ def _prefix_fn(pipeline, config, backend, stage):
 
         # stage == "raster": run both passes' rasters, skip shading.
         # Match the headline path's emit flags: fused two-pass kernel when
-        # enabled; otherwise shadow pass z-only, camera pass idx-only.
-        compact = backend != "jnp" and config.compact_shade
-        if (
-            spec.two_pass and compact and config.fuse_passes
-            and backend != "jnp"
-        ):
-            from ..ops.binning import bin_triangles
-            from ..ops.raster_pallas import rasterize_pallas_fused
-
-            (s1, _), (s2, _) = setups
-            r1, t1, st1, _ = bin_triangles(s1, config, ())
-            r2, t2, st2, _ = bin_triangles(s2, config, ())
-            shadow_z, idx = rasterize_pallas_fused(
-                r1, st1, t1, r2, st2, t2,
-                tile_h=config.tile_h, tile_w=config.tile_w,
-                tiles_y=config.tiles_y, tiles_x=config.tiles_x,
-                group=config.raster_group,
-                interpret=(backend == "pallas_interpret"),
+        # the headline uses it (shared gate — _use_fused_raster, so the
+        # attributed program cannot drift from render_frame's under
+        # idx_int16/strip_planes configs); otherwise shadow pass z-only,
+        # camera pass idx-only.
+        s2 = setups[-1][0]
+        if _use_fused_raster(spec, config, backend, s2, pspec, needs_z=False):
+            shadow_z, idx, _, _ = _fused_raster(
+                setups[0][0], s2, config, backend
             )
             return _checksum(shadow_z, idx)
         outs = []

@@ -55,8 +55,7 @@ class Scene:
                 "pos_idx": jnp.asarray(mesh.pos_idx),
                 "tex_idx": jnp.asarray(mesh.tex_idx),
                 "normal_idx": jnp.asarray(mesh.normal_idx),
-            },
-            jnp,
+            }
         )
         from .pipelines.frame import prepack_textures
 
