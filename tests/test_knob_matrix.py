@@ -1,0 +1,64 @@
+"""Cross-product bit-identity of the pinned perf knobs.
+
+Every RenderConfig perf knob is documented bit-identity-pinned (config.py)
+and tested individually; this matrix pins COMPOSITIONS, where gating
+interplay lives (e.g. fuse_passes is disabled by strip_planes/idx_int16,
+strip_mask must compose with strip_planes, csr_indirect changes the
+record layout under every other knob).  All combos must render the exact
+same frame: raster resolve is lexicographic and shading expressions are
+shared, so any knob changing a pixel is a bug, not noise.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tiny_renderer_tpu.config import RenderConfig
+from tiny_renderer_tpu.pipelines.frame import render_frame
+
+from conftest import geom_dict, tex_dict
+
+BASE = RenderConfig(width=64, height=64, strip_batch=32, tile_h=8)
+
+# (name, knob overrides) — rendered with needs_z=False so fuse_passes can
+# engage where its gate allows.
+COMBOS = [
+    ("fuse", dict(fuse_passes=True)),
+    ("mask+planes", dict(strip_mask=True, strip_planes=True)),
+    ("i16", dict(idx_int16=True, tile_h=16)),
+    ("nocsr+mask", dict(csr_indirect=False, strip_mask=True)),
+    ("fuse+planes", dict(fuse_passes=True, strip_planes=True)),
+    ("i16+planes", dict(idx_int16=True, strip_planes=True, tile_h=16)),
+    ("fullplane", dict(compact_shade=False)),
+    ("sl32", dict(strip_len=32)),
+    ("t16", dict(tile_h=16)),
+    ("all-on", dict(fuse_passes=True, strip_mask=True, strip_planes=True,
+                    idx_int16=True, csr_indirect=False, tile_h=16)),
+]
+
+
+@pytest.fixture(scope="module")
+def scene(head_model):
+    return geom_dict(head_model.mesh), tex_dict(head_model)
+
+
+@pytest.fixture(scope="module")
+def baseline(scene, camera):
+    geom, tex = scene
+    out = render_frame(
+        geom, tex, *camera, pipeline="shadow", config=BASE,
+        backend="pallas_interpret", needs_z=False,
+    )
+    return np.asarray(out["frame"])
+
+
+@pytest.mark.parametrize("name,knobs", COMBOS, ids=[n for n, _ in COMBOS])
+def test_knob_combo_bit_identical(scene, camera, baseline, name, knobs):
+    geom, tex = scene
+    cfg = dataclasses.replace(BASE, **knobs)
+    out = render_frame(
+        geom, tex, *camera, pipeline="shadow", config=cfg,
+        backend="pallas_interpret", needs_z=False,
+    )
+    np.testing.assert_array_equal(np.asarray(out["frame"]), baseline)
