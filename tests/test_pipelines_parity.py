@@ -70,6 +70,19 @@ def test_orbit_sweep_parity(head_scene_data, pose, pipeline):
     )
 
 
+@pytest.mark.parametrize("pose", ORBIT_POSES[::2], ids=lambda p: f"cam{p[0]:.0f}_light{p[1]:.0f}")
+@pytest.mark.parametrize("pipeline", ["default", "normal_map", "specular", "darboux"])
+def test_orbit_sweep_parity_one_pass(head_scene_data, pose, pipeline):
+    """Angle coverage for the one-pass pipelines (lighting terms flip sign
+    at grazing angles — intensity clamps, specular exponent saturation,
+    Darboux basis conditioning all vary with pose)."""
+    o, r = _render_pair(head_scene_data, pose_camera(*pose), pipeline, size=128)
+    mismatch = (o["frame"] != r["frame"]).any(axis=-1).mean()
+    assert mismatch <= MISMATCH_BUDGET, (
+        f"{pipeline}@{pose}: pixel mismatch {mismatch:.4%}"
+    )
+
+
 @pytest.mark.parametrize("pose", ORBIT_POSES[1::2], ids=lambda p: f"cam{p[0]:.0f}_light{p[1]:.0f}")
 @pytest.mark.parametrize("pipeline", ["shadow", "occlusion"])
 def test_orbit_sweep_strip_shade_parity(head_scene_data, pose, pipeline):
