@@ -96,7 +96,11 @@ def test_orbit_sweep_strip_shade_parity(head_scene_data, pose, pipeline):
     assert mismatch <= 0.01, f"{pipeline}@{pose}: pixel mismatch {mismatch:.4%}"
 
 
-@pytest.mark.parametrize("pipeline", ["phong", "shadow", "darboux", "specular", "occlusion"])
+@pytest.mark.parametrize(
+    "pipeline",
+    ["default", "phong", "normal_map", "specular", "darboux", "shadow",
+     "occlusion"],
+)
 def test_pallas_interpret_parity(head_scene_data, camera, pipeline):
     """Pallas (interpret mode on CPU) against the oracle on a small frame."""
     o, r = _render_pair(head_scene_data, camera, pipeline,
