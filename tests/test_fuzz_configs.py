@@ -37,6 +37,57 @@ def _random_scene(n, seed, spread=0.8):
     }
 
 
+def _random_config(rng, width, height):
+    """A random VALID knob draw (respects the documented constraints:
+    tile_w multiple of 128, idx_int16 needs tile_h % 16 == 0,
+    strip_batch * strip_len % 128 == 0)."""
+    tile_h = int(rng.choice([8, 16, 32]))
+    strip_len = int(rng.choice([8, 16, 32]))
+    knobs = dict(
+        width=width, height=height, tri_block=32,
+        tile_h=tile_h,
+        tile_w=int(rng.choice([128, 256])),
+        strip_len=strip_len,
+        strip_batch=int(rng.choice([128, 512])),
+        raster_group=int(rng.choice([4, 16])),
+        csr_indirect=bool(rng.integers(2)),
+        binning_compact=bool(rng.integers(2)),
+        fuse_passes=bool(rng.integers(2)),
+        strip_mask=bool(rng.integers(2)),
+        strip_planes=bool(rng.integers(2)),
+        compact_shade=bool(rng.integers(2)),
+        idx_int16=bool(rng.integers(2)) and tile_h % 16 == 0,
+    )
+    return RenderConfig(**knobs)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_fuzz_random_knobs(seed):
+    """Random knob COMPOSITIONS on random scenes/poses must stay oracle-
+    exact through the kernel path — the fixed-combo matrix
+    (test_knob_matrix) can't cover the draw space, this samples it."""
+    rng = np.random.default_rng(seed)
+    pipeline = ["phong", "shadow", "occlusion"][seed % 3]
+    geom = _random_scene(100, seed)
+    tex = make_textures(64)
+    a, b = rng.uniform(-np.pi, np.pi, 2)
+    light = np.array([np.sin(a), 0, np.cos(a)], np.float32)
+    look_from = np.array([np.sin(b), 0, np.cos(b)], np.float32)
+    look_at = np.zeros(3, np.float32)
+    up = np.array([0, 1, 0], np.float32)
+
+    cfg = _random_config(rng, 96, 96)
+    o = render_oracle(geom, tex, light, look_from, look_at, up,
+                      pipeline=pipeline, config=cfg)
+    fn = make_frame_fn(pipeline, cfg, backend="pallas_interpret")
+    r = fn(jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+           jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
+           jnp.asarray(up))
+    assert not bool(np.asarray(r["overflow"])), f"overflow under {cfg}"
+    mismatch = (np.asarray(r["frame"]) != o["frame"]).any(axis=-1).mean()
+    assert mismatch <= 0.01, f"mismatch {mismatch:.3%} under {cfg}"
+
+
 @pytest.mark.parametrize("width,height,tile_h,pipeline,seed", CASES)
 def test_fuzz_size_and_scene(width, height, tile_h, pipeline, seed):
     rng = np.random.default_rng(100 + seed)
