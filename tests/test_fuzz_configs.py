@@ -37,6 +37,14 @@ def _random_scene(n, seed, spread=0.8):
     }
 
 
+@pytest.fixture(scope="module")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices (xla_force_host_platform_device_count)")
+    return devs[:8]
+
+
 def _random_config(rng, width, height):
     """A random VALID knob draw (respects the documented constraints:
     tile_w multiple of 128, idx_int16 needs tile_h % 16 == 0,
@@ -86,6 +94,50 @@ def test_fuzz_random_knobs(seed):
     assert not bool(np.asarray(r["overflow"])), f"overflow under {cfg}"
     mismatch = (np.asarray(r["frame"]) != o["frame"]).any(axis=-1).mean()
     assert mismatch <= 0.01, f"mismatch {mismatch:.3%} under {cfg}"
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_fuzz_sharded_random_pose(seed, eight_devices):
+    """Random poses + jnp-path knob draws through the row-sharded path must
+    stay BIT-identical to single-device — per-shard binning windows, strip
+    y_offset arithmetic, and triangle-axis sharding have no pose-dependent
+    escape hatch (the fixed conftest pose alone could hide one)."""
+    import dataclasses
+
+    from tiny_renderer_tpu.parallel.sharding import (
+        make_row_mesh,
+        render_frame_sharded,
+    )
+
+    rng = np.random.default_rng(seed)
+    pipeline = ["phong", "shadow", "darboux"][seed % 3]
+    geom = _random_scene(100, seed)
+    tex = make_textures(64)
+    a, b = rng.uniform(-np.pi, np.pi, 2)
+    light = np.array([np.sin(a), 0, np.cos(a)], np.float32)
+    look_from = np.array([np.sin(b), 0.3, np.cos(b)], np.float32)
+    look_at = np.zeros(3, np.float32)
+    up = np.array([0, 1, 0], np.float32)
+
+    cfg = RenderConfig(
+        width=96, height=96, tri_block=32,
+        binning_compact=bool(rng.integers(2)),
+        shard_triangles=bool(rng.integers(2)),
+    )
+    args = (
+        jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+        jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
+        jnp.asarray(up),
+    )
+    mesh = make_row_mesh(eight_devices, batch=1)
+    sharded = render_frame_sharded(*args, pipeline=pipeline, config=cfg, mesh=mesh)
+    single_cfg = dataclasses.replace(cfg, shard_triangles=False)
+    single = make_frame_fn(pipeline, single_cfg, backend="jnp")(*args)
+    np.testing.assert_array_equal(
+        np.asarray(sharded["frame"]), np.asarray(single["frame"]),
+        err_msg=f"sharded != single under {cfg}",
+    )
+    np.testing.assert_array_equal(np.asarray(sharded["z"]), np.asarray(single["z"]))
 
 
 @pytest.mark.parametrize("width,height,tile_h,pipeline,seed", CASES)
