@@ -94,3 +94,23 @@ def test_batch_sharded_batch_divisibility(eight_devices):
             None, None, lights, None, None, None,
             pipeline="phong", config=cfg, mesh=mesh,
         )
+
+
+# ---- native loader robustness: failures return None, never crash ----
+
+from tiny_renderer_tpu.assets import native
+
+
+@pytest.mark.parametrize("fn", ["read_tga_native", "read_obj_native"])
+def test_native_missing_file_returns_none(fn):
+    if not native.native_available():
+        pytest.skip("native loader not built")
+    assert getattr(native, fn)("/nonexistent/file.xyz") is None
+
+
+def test_native_truncated_tga_returns_none(tmp_path):
+    if not native.native_available():
+        pytest.skip("native loader not built")
+    p = tmp_path / "trunc.tga"
+    p.write_bytes(b"\x00\x00\x02")  # 3 bytes: shorter than the 18-byte header
+    assert native.read_tga_native(str(p)) is None
