@@ -204,6 +204,10 @@ def main():
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--all", action="store_true", help="run all 5 configs (stderr report)")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="skip the persistent XLA compile cache (warm starts "
+                         "only shorten compile wall time; measured ms/frame "
+                         "is post-warmup and unaffected)")
     args = ap.parse_args()
 
     asset_root = _find_assets()
@@ -212,6 +216,11 @@ def main():
     # device op can block forever; supervisors watch for this line.
     import jax
     import jax.numpy as jnp
+
+    if not args.no_compile_cache:
+        from tiny_renderer_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
     np.asarray(jnp.ones((8, 128)) * 2)
     print("TUNNEL-LIVE", file=sys.stderr, flush=True)

@@ -25,10 +25,18 @@ def main():
     ap.add_argument("--asset", default="/root/reference/assets/african_head")
     ap.add_argument("--budget", type=float, default=0.01,
                     help="allowed pixel mismatch fraction vs oracle")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="skip the persistent XLA compile cache (repeat "
+                         "certifications re-pay the multi-minute compiles)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if not args.no_compile_cache:
+        from tiny_renderer_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
     from tiny_renderer_tpu import RenderConfig, load_model
     from tiny_renderer_tpu.oracle import render_oracle

@@ -6,6 +6,13 @@ bench.py and scripts/tpu_smoke.py on hardware.
 """
 
 import os
+import tempfile
+
+# CLI tests exercise app.main(), which enables the persistent compilation
+# cache by default — point it at a throwaway dir, not the user's ~/.cache.
+os.environ.setdefault(
+    "TINY_RENDERER_TPU_CACHE", tempfile.mkdtemp(prefix="trt_xla_cache_")
+)
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

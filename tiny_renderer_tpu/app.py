@@ -88,6 +88,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "per-stage device-time breakdown at exit")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
+    ap.add_argument("--compile-cache", metavar="DIR", default=None,
+                    help="persistent XLA compilation cache directory "
+                         "(default: $TINY_RENDERER_TPU_CACHE or "
+                         "~/.cache/tiny_renderer_tpu/xla); repeat runs "
+                         "skip the first-frame compile")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent compilation cache")
     return ap
 
 
@@ -323,6 +330,12 @@ def main(argv=None) -> int:
         print(f"ignoring unrecognized arguments: {' '.join(unknown)}",
               file=sys.stderr)
     width, height = args.size
+
+    if not args.no_compile_cache:
+        # Must run before the first jit compile to take effect.
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
 
     model = load_model(args.asset_path)
     print(f"cooking up a scene with '{args.pipeline}' shader pipeline")
