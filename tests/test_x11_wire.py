@@ -1,0 +1,282 @@
+"""The REAL libX11 client against a wire-protocol X server (no display).
+
+tests/test_viewer_x11.py covers X11Viewer's logic with a scripted fake
+Xlib at the C-API boundary.  These tests remove that last seam: a minimal
+X11 wire server (tests/x11_wire_server.py) listens on a real AF_UNIX
+socket and the genuine `libX11.so.6` connects to it, so everything from
+XOpenDisplay's handshake through XPutImage's request splitting and
+XLookupKeysym's GetKeyboardMapping fetch runs the production binary
+protocol path.  Assertions are made on the bytes that actually crossed
+the socket.
+
+Covers the reference's windowed surface end-to-end: window creation
+(src/app.rs:148-153), the per-frame blit (:213-218), and the key-event
+drain feeding the orbit controls (:221-224, :63-77).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import subprocess
+import sys
+import time
+import types
+
+import numpy as np
+import pytest
+from x11_wire_server import MiniXServer
+
+from tiny_renderer_tpu import RenderConfig, Scene, load_model
+from tiny_renderer_tpu.app import run_interactive
+from tiny_renderer_tpu.viewer_x11 import KEY_PRESS, X11Viewer, XEvent, load_xlib
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/lib/x86_64-linux-gnu/libX11.so.6")
+    and not ctypes.util.find_library("X11"),
+    reason="libX11 not installed",
+)
+
+ASSET = "/root/reference/assets/african_head"
+
+
+@pytest.fixture
+def wire():
+    with MiniXServer() as srv:
+        saved = os.environ.get("DISPLAY")
+        os.environ["DISPLAY"] = srv.display
+        try:
+            yield srv
+        finally:
+            if saved is None:
+                os.environ.pop("DISPLAY", None)
+            else:
+                os.environ["DISPLAY"] = saved
+        assert srv.unknown_opcodes == [], (
+            f"client sent requests the server does not model: "
+            f"{srv.unknown_opcodes}"
+        )
+        assert srv.errors == [], srv.errors
+
+
+def _settle(srv, viewer, pred, timeout=5.0):
+    """Pump the viewer until `pred()` (server->client delivery is async)."""
+    deadline = time.monotonic() + timeout
+    while not pred() and time.monotonic() < deadline:
+        time.sleep(0.02)
+        viewer._pump_events()
+    assert pred()
+
+
+def _test_frame(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _fb_as_rgb(srv, wid):
+    fb = srv.framebuffers[wid]
+    a = np.frombuffer(bytes(fb["pixels"]), np.uint8)
+    bgrx = a.reshape(fb["height"], fb["width"], 4)
+    return bgrx[:, :, [2, 1, 0]]  # server stores the wire's BGRX
+
+
+def test_open_create_map_title(wire):
+    v = X11Viewer(width=96, height=64, title="wire-title")
+    try:
+        v._x.XSync(v._dpy, 0)  # flush the buffered CreateWindow..MapWindow
+        assert len(wire.windows) == 1
+        wid, win = next(iter(wire.windows.items()))
+        assert (win["width"], win["height"]) == (96, 64)
+        assert win["mapped"]
+        # XStoreName -> ChangeProperty(WM_NAME=39) with the exact bytes.
+        assert win["properties"][39] == b"wire-title"
+        # XSetWMProtocols -> WM_PROTOCOLS property holding WM_DELETE_WINDOW.
+        wm_protocols = wire.atoms["WM_PROTOCOLS"]
+        wm_delete = wire.atoms["WM_DELETE_WINDOW"]
+        stored = win["properties"][wm_protocols]
+        assert wm_delete in np.frombuffer(stored, np.uint32)
+    finally:
+        v.close()
+
+
+def test_blit_bytes_exact_on_the_wire(wire):
+    v = X11Viewer(width=64, height=48)
+    try:
+        frame = _test_frame(48, 64)
+        v.show(frame)
+        # XSync round-trips GetInputFocus, which the server processes
+        # strictly after the preceding PutImage(s) — no settle race.
+        v._x.XSync(v._dpy, 0)
+        wid = next(iter(wire.windows))
+        np.testing.assert_array_equal(_fb_as_rgb(wire, wid), frame)
+    finally:
+        v.close()
+
+
+def test_putimage_request_splitting(wire):
+    """256x256x4 exceeds the core max request size (65535*4 bytes), so
+    Xlib must split the blit into multiple PutImage requests; the rows
+    must reassemble bit-exactly on the server."""
+    v = X11Viewer(width=256, height=256)
+    try:
+        frame = _test_frame(256, 256, seed=7)
+        v.show(frame)
+        v._x.XSync(v._dpy, 0)  # serializes after every split PutImage
+        wid = next(iter(wire.windows))
+        n_putimage = sum(1 for op, _ in wire.requests if op == 72)
+        assert n_putimage >= 2, "expected Xlib to split the big PutImage"
+        np.testing.assert_array_equal(_fb_as_rgb(wire, wid), frame)
+    finally:
+        v.close()
+
+
+def test_key_events_through_real_keymap(wire):
+    """KeyPress/KeyRelease for every bound key, decoded by the real
+    XLookupKeysym (which fetches the mapping via GetKeyboardMapping)."""
+    v = X11Viewer(width=32, height=32)
+    presses, releases = [], []
+    v.connect(presses.append, releases.append)
+    try:
+        for sym in (0x0061, 0x0064, 0x0071, 0x0065, 0xFF1B):
+            wire.send_key(sym, press=True)
+            wire.send_key(sym, press=False)
+        want = ["a", "d", "q", "e", "escape"]
+        _settle(wire, v, lambda: len(releases) >= 5)
+        assert presses == want and releases == want
+        assert any(op == 101 for op, _ in wire.requests), (
+            "XLookupKeysym should have issued GetKeyboardMapping"
+        )
+    finally:
+        v.close()
+
+
+def test_wm_delete_closes_other_messages_ignored(wire):
+    v = X11Viewer(width=32, height=32)
+    try:
+        wm_protocols = wire.atoms["WM_PROTOCOLS"]
+        wm_delete = wire.atoms["WM_DELETE_WINDOW"]
+        # An unrelated ClientMessage must not close the window...
+        wire.send_client_message(wm_protocols + 999, wm_delete)
+        wire.send_client_message(wm_protocols, 0)
+        time.sleep(0.1)
+        v._pump_events()
+        assert v.alive
+        # ...the genuine WM_PROTOCOLS/WM_DELETE_WINDOW one must.
+        wire.send_client_message(wm_protocols, wm_delete)
+        _settle(wire, v, lambda: not v.alive)
+    finally:
+        v.close()
+
+
+def test_xsendevent_injection_round_trip(wire):
+    """The scripts/x11_smoke.py mechanism: client XSendEvent -> server ->
+    event delivered back with send_event set, decoded by the keymap."""
+    lib = load_xlib()
+    v = X11Viewer(width=32, height=32, lib=lib)
+    pressed = []
+    v.connect(pressed.append, lambda key: None)
+    try:
+        ev = XEvent()
+        ev.xkey.type = KEY_PRESS
+        ev.xkey.display = v._dpy
+        ev.xkey.window = v._win
+        ev.xkey.keycode = lib.XKeysymToKeycode(v._dpy, 0x0061)
+        ev.xkey.same_screen = 1
+        assert lib.XSendEvent(v._dpy, v._win, 1, 1 << 0, ctypes.byref(ev))
+        lib.XSync(v._dpy, 0)
+        _settle(wire, v, lambda: "a" in pressed)
+    finally:
+        v.close()
+
+
+class _ScriptedWire:
+    """Wraps the real X11Viewer; injects server-side keys after frame N."""
+
+    def __init__(self, inner, srv, script):
+        self.inner, self.srv, self.script = inner, srv, script
+        self.n = 0
+
+    def connect(self, on_press, on_release):
+        self.inner.connect(on_press, on_release)
+
+    def show(self, frame):
+        self.inner.show(frame)
+        events = self.script.get(self.n, [])
+        for sym, press in events:
+            self.srv.send_key(sym, press)
+        if events:
+            time.sleep(0.1)  # unix-socket delivery before the next pump
+        self.n += 1
+
+    @property
+    def alive(self):
+        return self.inner.alive
+
+    def close(self):
+        self.inner.close()
+
+
+@pytest.fixture(scope="module")
+def head_model():
+    return load_model(ASSET, verbose=False)
+
+
+def test_run_interactive_full_loop_over_wire(wire, head_model):
+    """The COMPLETE interactive app path with zero seams: real renderer
+    (jnp backend) -> real X11Viewer -> real libX11 -> wire server, with
+    the orbit keys and exit driven by genuine X11 KeyPress events."""
+    cfg = RenderConfig(width=64, height=64, tri_block=32)
+    scene = Scene(head_model, "phong", cfg, backend="jnp")
+    viewer = X11Viewer(width=64, height=64)
+    scripted = _ScriptedWire(
+        viewer,
+        wire,
+        {
+            0: [(0x0064, True)],              # press 'd' (camera orbit)
+            2: [(0x0064, False), (0xFF1B, True), (0xFF1B, False)],
+        },
+    )
+    args = types.SimpleNamespace(camera_angle=0.0, light_angle=0.0, no_fps=True)
+
+    calls = []
+    orig = scene.set_camera
+    scene.set_camera = lambda *a: (calls.append(np.asarray(a[0]).copy()), orig(*a))[1]
+
+    t = [0.0]
+
+    def clock():
+        t[0] += 1.0 / 60.0
+        return t[0]
+
+    frame = run_interactive(scene, args, viewer=scripted, clock=clock)
+    assert frame is not None and frame.shape == (64, 64, 3)
+    # The held 'd' key must have advanced the camera between frames.
+    assert len(calls) >= 3
+    assert not np.allclose(calls[0], calls[-1]), "camera never orbited"
+    # The final blit that crossed the wire is a real rendered frame.
+    # (The viewer is closed; poll for the server draining the last bytes.)
+    wid = next(iter(wire.windows))
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if wid in wire.framebuffers and _fb_as_rgb(wire, wid).any():
+            break
+        time.sleep(0.02)
+    assert _fb_as_rgb(wire, wid).any(), "blitted frame is all-black"
+
+
+def test_x11_smoke_script_certifies_against_wire_server(wire):
+    """scripts/x11_smoke.py — written as the 'first host with a display'
+    certification — passes UNMODIFIED against the wire server: exit 0,
+    with its XPutImage round-trip and XSendEvent injection for real."""
+    env = dict(os.environ, DISPLAY=wire.display)
+    proc = subprocess.run(
+        [sys.executable, "scripts/x11_smoke.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "x11_smoke OK" in proc.stdout
