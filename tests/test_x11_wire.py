@@ -265,6 +265,34 @@ def test_run_interactive_full_loop_over_wire(wire, head_model):
     assert _fb_as_rgb(wire, wid).any(), "blitted frame is all-black"
 
 
+def test_viewer_autoselection_picks_x11_over_wire(wire, head_model):
+    """run_interactive(viewer=None) with DISPLAY set must choose the real
+    X11Viewer (the reference's dedicated window, src/app.rs:148-153), not
+    the matplotlib or headless fallbacks.  A server-side watcher thread
+    waits for the first blit to cross the wire, then sends Escape."""
+    import threading
+
+    cfg = RenderConfig(width=48, height=48, tri_block=32)
+    scene = Scene(head_model, "phong", cfg, backend="jnp")
+    args = types.SimpleNamespace(camera_angle=0.0, light_angle=0.0, no_fps=True)
+
+    def escape_after_first_blit():
+        deadline = time.monotonic() + 60.0
+        while time.monotonic() < deadline and not wire.framebuffers:
+            time.sleep(0.02)
+        wire.send_key(0xFF1B, True)
+        wire.send_key(0xFF1B, False)
+
+    watcher = threading.Thread(target=escape_after_first_blit, daemon=True)
+    watcher.start()
+    frame = run_interactive(scene, args)  # viewer=None -> selection chain
+    watcher.join(timeout=10.0)
+    assert frame is not None and frame.shape == (48, 48, 3)
+    # The selection must have created a real window on OUR server and
+    # blitted at least one frame through it.
+    assert wire.windows and wire.framebuffers
+
+
 def test_x11_smoke_script_certifies_against_wire_server(wire):
     """scripts/x11_smoke.py — written as the 'first host with a display'
     certification — passes UNMODIFIED against the wire server: exit 0,
