@@ -9,9 +9,11 @@ import os
 import tempfile
 
 # CLI tests exercise app.main(), which enables the persistent compilation
-# cache by default — point it at a throwaway dir, not the user's ~/.cache.
-os.environ.setdefault(
-    "TINY_RENDERER_TPU_CACHE", tempfile.mkdtemp(prefix="trt_xla_cache_")
+# cache by default — point it at a throwaway dir, never the user's real
+# cache (even one they configured via this env var: the suite must not
+# pollute it with tiny CPU-test entries).
+os.environ["TINY_RENDERER_TPU_CACHE"] = tempfile.mkdtemp(
+    prefix="trt_xla_cache_"
 )
 
 flags = os.environ.get("XLA_FLAGS", "")

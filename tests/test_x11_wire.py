@@ -28,7 +28,7 @@ import numpy as np
 import pytest
 from x11_wire_server import MiniXServer
 
-from tiny_renderer_tpu import RenderConfig, Scene, load_model
+from tiny_renderer_tpu import RenderConfig, Scene
 from tiny_renderer_tpu.app import run_interactive
 from tiny_renderer_tpu.viewer_x11 import KEY_PRESS, X11Viewer, XEvent, load_xlib
 
@@ -38,11 +38,28 @@ pytestmark = pytest.mark.skipif(
     reason="libX11 not installed",
 )
 
-ASSET = "/root/reference/assets/african_head"
+# Keep ctypes callbacks alive for the process lifetime (Xlib holds the
+# pointer); XSetErrorHandler is process-global.
+_ERROR_HANDLER_KEEPALIVE = []
+
+
+def _install_nonfatal_x_error_handler():
+    """Xlib's DEFAULT error handler prints and exit(1)s the whole process.
+    A protocol error from the wire server (e.g. the BadRequest it answers
+    unknown opcodes with — real servers do the same) must surface as the
+    fixture's unknown_opcodes assertion, not kill pytest."""
+    if _ERROR_HANDLER_KEEPALIVE:
+        return
+    lib = ctypes.CDLL(ctypes.util.find_library("X11") or "libX11.so.6")
+    handler_t = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p)
+    cb = handler_t(lambda _dpy, _err: 0)
+    _ERROR_HANDLER_KEEPALIVE.extend([lib, cb])
+    lib.XSetErrorHandler(cb)
 
 
 @pytest.fixture
 def wire():
+    _install_nonfatal_x_error_handler()
     with MiniXServer() as srv:
         saved = os.environ.get("DISPLAY")
         os.environ["DISPLAY"] = srv.display
@@ -60,7 +77,7 @@ def wire():
         assert srv.errors == [], srv.errors
 
 
-def _settle(srv, viewer, pred, timeout=5.0):
+def _settle(viewer, pred, timeout=5.0):
     """Pump the viewer until `pred()` (server->client delivery is async)."""
     deadline = time.monotonic() + timeout
     while not pred() and time.monotonic() < deadline:
@@ -142,7 +159,7 @@ def test_key_events_through_real_keymap(wire):
             wire.send_key(sym, press=True)
             wire.send_key(sym, press=False)
         want = ["a", "d", "q", "e", "escape"]
-        _settle(wire, v, lambda: len(releases) >= 5)
+        _settle(v, lambda: len(releases) >= 5)
         assert presses == want and releases == want
         assert any(op == 101 for op, _ in wire.requests), (
             "XLookupKeysym should have issued GetKeyboardMapping"
@@ -164,7 +181,7 @@ def test_wm_delete_closes_other_messages_ignored(wire):
         assert v.alive
         # ...the genuine WM_PROTOCOLS/WM_DELETE_WINDOW one must.
         wire.send_client_message(wm_protocols, wm_delete)
-        _settle(wire, v, lambda: not v.alive)
+        _settle(v, lambda: not v.alive)
     finally:
         v.close()
 
@@ -185,7 +202,7 @@ def test_xsendevent_injection_round_trip(wire):
         ev.xkey.same_screen = 1
         assert lib.XSendEvent(v._dpy, v._win, 1, 1 << 0, ctypes.byref(ev))
         lib.XSync(v._dpy, 0)
-        _settle(wire, v, lambda: "a" in pressed)
+        _settle(v, lambda: "a" in pressed)
     finally:
         v.close()
 
@@ -215,11 +232,6 @@ class _ScriptedWire:
 
     def close(self):
         self.inner.close()
-
-
-@pytest.fixture(scope="module")
-def head_model():
-    return load_model(ASSET, verbose=False)
 
 
 def test_run_interactive_full_loop_over_wire(wire, head_model):

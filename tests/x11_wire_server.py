@@ -100,14 +100,35 @@ class MiniXServer:
 
     def __enter__(self):
         os.makedirs("/tmp/.X11-unix", exist_ok=True)
-        try:
-            os.unlink(self.sock_path)
-        except FileNotFoundError:
-            pass
+        # The display number may collide with another process's server
+        # (concurrent pytest runs); probe before claiming the path and
+        # never unlink a socket something is still listening on.
+        for _ in range(50):
+            if os.path.exists(self.sock_path):
+                probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                try:
+                    probe.connect(self.sock_path)
+                    alive = True
+                except OSError:
+                    alive = False
+                finally:
+                    probe.close()
+                if alive:
+                    MiniXServer._next_num += 1
+                    self.display_num = 80 + (
+                        os.getpid() * 7 + MiniXServer._next_num
+                    ) % 400
+                    self.sock_path = f"/tmp/.X11-unix/X{self.display_num}"
+                    continue
+                os.unlink(self.sock_path)  # stale leftover
+            break
         self._listener = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._listener.bind(self.sock_path)
         self._listener.listen(1)
-        self._listener.settimeout(30.0)
+        # Generous timeouts: the client may pause for a long JIT compile
+        # (or a subprocess's jax import) mid-connection; close() unblocks
+        # accept/recv by closing the sockets, so these only bound leaks.
+        self._listener.settimeout(600.0)
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
         return self
@@ -174,7 +195,7 @@ class MiniXServer:
             conn, _ = self._listener.accept()
         except (OSError, socket.timeout):
             return
-        conn.settimeout(30.0)
+        conn.settimeout(600.0)
         self._conn = conn
         buf = bytearray()
 
@@ -359,11 +380,23 @@ class MiniXServer:
         fb = self.framebuffers.get(drawable)
         if fb is None:
             win = self.windows.get(drawable, {})
-            fw = max(win.get("width", 0), dx + w)
-            fh = max(win.get("height", 0), dy + h)
-            fb = {"width": fw, "height": fh,
-                  "pixels": bytearray(fw * fh * 4)}
+            fb = {"width": max(win.get("width", 0), dx + w),
+                  "height": max(win.get("height", 0), dy + h),
+                  "pixels": b""}
             self.framebuffers[drawable] = fb
+        if dx + w > fb["width"] or dy + h > fb["height"]:
+            # Grow the dense buffer explicitly (a blit beyond the first
+            # request's extent must not silently append past the end).
+            nw, nh = max(fb["width"], dx + w), max(fb["height"], dy + h)
+            grown = bytearray(nw * nh * 4)
+            old = fb["pixels"]
+            for row in range(fb["height"]):
+                grown[row * nw * 4 : row * nw * 4 + fb["width"] * 4] = (
+                    old[row * fb["width"] * 4 : (row + 1) * fb["width"] * 4]
+                )
+            fb.update(width=nw, height=nh, pixels=grown)
+        if not fb["pixels"]:
+            fb["pixels"] = bytearray(fb["width"] * fb["height"] * 4)
         stride = w * 4  # depth-24 ZPixmap rows are bpp32, 4-byte aligned
         for row in range(h):
             src = data[row * stride : (row + 1) * stride]

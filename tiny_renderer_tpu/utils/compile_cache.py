@@ -46,9 +46,12 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     path = path or default_cache_dir()
     try:
         os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
+        # Thresholds first, cache dir LAST: the dir setting is what turns
+        # the cache on, so a partial failure leaves it fully disabled
+        # (matching the message below) rather than half-configured.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_compilation_cache_dir", path)
     except Exception as e:  # pragma: no cover - depends on host FS/backend
         # stderr: bench.py's stdout is a one-JSON-line contract.
         print(f"compilation cache disabled ({e})", file=sys.stderr)
