@@ -33,8 +33,12 @@ COMBOS = [
     ("fullplane", dict(compact_shade=False)),
     ("sl32", dict(strip_len=32)),
     ("t16", dict(tile_h=16)),
+    ("swz16", dict(tex_tile=16)),
+    ("swz16+planes", dict(tex_tile=16, strip_planes=True)),
+    ("swz8+fullplane", dict(tex_tile=8, compact_shade=False)),
     ("all-on", dict(fuse_passes=True, strip_mask=True, strip_planes=True,
-                    idx_int16=True, csr_indirect=False, tile_h=16)),
+                    idx_int16=True, csr_indirect=False, tile_h=16,
+                    tex_tile=16)),
 ]
 
 

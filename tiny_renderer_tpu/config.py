@@ -172,6 +172,16 @@ class RenderConfig:
     # reference scenes (2.5-5k triangles) are far below the crossover.
     shard_triangles: bool = False
 
+    # Tile-swizzle the packed texture plane (and the kernel's texel-index
+    # plane) into tex_tile x tex_tile blocks so uv-adjacent texels are
+    # contiguous in the gather table.  A pure permutation — output is
+    # bit-identical (tests pin it) — targeting the shade's access-locality
+    # gap: the scaling model measured diablo's effective gather cost at
+    # 9.9 ns/row vs the microprobe's 7.3 and head's 7.6 (BASELINE.md),
+    # the difference being index locality.  0 = row-major; a power of two
+    # that divides both texture dims applies (else row-major fallback).
+    tex_tile: int = 0
+
     # Camera/light orbit speeds in rad/s (src/app.rs:12-13).
     camera_speed: float = 3.0
     light_speed: float = 3.0
@@ -197,6 +207,10 @@ class RenderConfig:
             raise ValueError(
                 "strip_len must be >= 1 with strip_batch * strip_len a "
                 f"multiple of 128, got {self.strip_batch} x {self.strip_len}"
+            )
+        if self.tex_tile < 0 or (self.tex_tile & (self.tex_tile - 1)) != 0:
+            raise ValueError(
+                f"tex_tile must be 0 or a power of two, got {self.tex_tile}"
             )
 
     @property

@@ -273,9 +273,12 @@ def _raster_kernel(
                 # Fold uv interpolation + the reference's texel addressing
                 # ((uv*dim) as u32 then clamp, util.rs:35-40 + our clamp
                 # divergence) into one exact-integer-in-f32 index plane.
-                _, tw_, th_ = mode.split(":")
-                wdim = jnp.float32(int(tw_))
-                hdim = jnp.float32(int(th_))
+                parts = mode.split(":")
+                wdim = jnp.float32(int(parts[1]))
+                hdim = jnp.float32(int(parts[2]))
+                # Optional 4th field: tile-swizzled plane layout
+                # (config.tex_tile; see shaders._swizzle_index).
+                swz = int(parts[3]) if len(parts) > 3 else 0
                 uu = (rec(k, lane) * w + rec(k, lane + 1) * u) + rec(k, lane + 2) * v
                 vv = (rec(k, lane + 3) * w + rec(k, lane + 4) * u) + rec(k, lane + 5) * v
                 zero = jnp.float32(0.0)
@@ -285,7 +288,19 @@ def _raster_kernel(
                 yw = jnp.where(jnp.isnan(yw), zero, yw)
                 cxp = jnp.minimum(jnp.trunc(jnp.maximum(xw, zero)), wdim - 1.0)
                 cyp = jnp.minimum(jnp.trunc(jnp.maximum(yw, zero)), hdim - 1.0)
-                val = cyp * wdim + cxp
+                if swz:
+                    # Tile-swizzled flat index; every op is exact in f32
+                    # (coords < 2^20, tile a power of two so the division
+                    # is exact and trunc recovers the integer quotient).
+                    fB = jnp.float32(swz)
+                    tx = jnp.trunc(cxp / fB)
+                    ty = jnp.trunc(cyp / fB)
+                    ix = cxp - tx * fB
+                    iy = cyp - ty * fB
+                    ntx = jnp.float32(int(parts[1]) // swz)
+                    val = ((ty * ntx + tx) * fB + iy) * fB + ix
+                else:
+                    val = cyp * wdim + cxp
             else:  # interp / zfrag: (a0*w + a1*u) + a2*v
                 a0 = rec(k, lane)
                 a1 = rec(k, lane + 1)

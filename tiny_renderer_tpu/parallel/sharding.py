@@ -228,16 +228,20 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         if compact:
             kspec = pspec or ()
         else:
-            kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
+            kspec = (
+                kernel_varying_spec(pipeline, textures, tile=config.tex_tile)
+                if backend != "jnp"
+                else vspec
+            )
         z, idx, varys, strips, ovf2 = _raster_shard(
             setup, config, rows_per_shard, y0, backend, spec=kspec, emit_z=needs_z,
             emit_strips=_strip_mask_len(config) if compact else 0,
         )
         ovf2 = ovf2 | setup["coord_overflow"]
 
-    if _needs_pack(textures, pipeline):
+    if _needs_pack(textures, pipeline, config.tex_tile):
         textures = shaders.pack_textures(
-            textures, _pipeline_maps()[pipeline], jnp
+            textures, _pipeline_maps()[pipeline], jnp, tile=config.tex_tile
         )
     if compact:
         frame = _shade_strips(
@@ -270,10 +274,10 @@ def _pipeline_maps():
     return _PIPELINE_MAPS
 
 
-def _needs_pack(textures, pipeline):
+def _needs_pack(textures, pipeline, tile=0):
     from ..pipelines.frame import _pk_needed
 
-    return _pk_needed(textures, pipeline)
+    return _pk_needed(textures, pipeline, tile)
 
 
 @functools.partial(

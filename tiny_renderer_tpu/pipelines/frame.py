@@ -293,7 +293,7 @@ def _planes_spec(pipeline, textures, config, backend):
         return None
     if any(mode == "const" for (_, _, mode) in VARYING_SPECS[pipeline]):
         return None
-    return kernel_varying_spec(pipeline, textures)
+    return kernel_varying_spec(pipeline, textures, tile=config.tex_tile)
 
 
 def _shade_jnp_path(setup, idx, pipeline, config, y_offset=0):
@@ -386,7 +386,11 @@ def render_frame(
             # interpolates the varying planes the strip shade will consume.
             kspec = pspec or ()
         else:
-            kspec = kernel_varying_spec(pipeline, textures) if backend != "jnp" else vspec
+            kspec = (
+                kernel_varying_spec(pipeline, textures, tile=config.tex_tile)
+                if backend != "jnp"
+                else vspec
+            )
         # The camera pass's z target is consumed only by callers (debug
         # views, parity checks) — shading reads idx / varying planes.
         z, idx, varys, strips, ovf2 = _rasterize(
@@ -396,8 +400,10 @@ def render_frame(
         ovf2 = ovf2 | setup["coord_overflow"]
 
     if compact:
-        if _pk_needed(textures, pipeline):
-            textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
+        if _pk_needed(textures, pipeline, config.tex_tile):
+            textures = shaders.pack_textures(
+                textures, _PIPELINE_MAPS[pipeline], jnp, tile=config.tex_tile
+            )
         frame = _shade_strips(
             setup, idx, pipeline, uniforms, textures, config, shadow_z,
             strip_mask=strips, planes=varys, planes_spec=kspec,
@@ -411,8 +417,10 @@ def render_frame(
         _add_const_gather(frag, kspec, vspec, setup, idx)
     if spec.two_pass:
         frag["shadow_buffer"] = shadow_z
-    if _pk_needed(textures, pipeline):
-        textures = shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], jnp)
+    if _pk_needed(textures, pipeline, config.tex_tile):
+        textures = shaders.pack_textures(
+            textures, _PIPELINE_MAPS[pipeline], jnp, tile=config.tex_tile
+        )
     colors = spec.shade(frag, uniforms, textures, config, jnp)
 
     covered = (idx >= 0)[..., None]
@@ -588,15 +596,27 @@ def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,
     )
 
 
-def _pk_needed(textures, pipeline):
+def _pk_needed(textures, pipeline, tile=0):
+    """True when the pipeline's packed plane is absent OR stored in a
+    different layout than config.tex_tile requests (the samplers read the
+    layout from the key, so a mismatched prepack must be redone)."""
     names = _PIPELINE_MAPS[pipeline]
-    return bool(names) and shaders._pk_key(names) not in textures
+    if not names:
+        return False
+    dims = {textures[n].shape[:2] for n in names}
+    if "normal_map_tangent" in names:
+        dims.add(textures["normal_map"].shape[:2])
+    if len(dims) == 1:
+        h, w = next(iter(dims))
+        tile = shaders._effective_tile(tile, h, w)
+    return shaders._pk_key(names, tile) not in textures
 
 
-def prepack_textures(textures, pipeline, xp=jnp):
+def prepack_textures(textures, pipeline, xp=jnp, tile=0):
     """Pre-pack the word-packed texture plane for a pipeline once (e.g. at
-    Scene construction) so per-frame rendering skips the repack traffic."""
-    return shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], xp)
+    Scene construction) so per-frame rendering skips the repack traffic.
+    `tile` must match the render config's tex_tile (Scene passes it)."""
+    return shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], xp, tile=tile)
 
 
 @functools.partial(jax.jit, static_argnames=("pipeline", "config", "backend"))

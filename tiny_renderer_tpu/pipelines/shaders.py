@@ -76,7 +76,7 @@ def num_planes(spec) -> int:
     return sum(comps for (_, comps, _) in spec)
 
 
-def kernel_varying_spec(pipeline, textures):
+def kernel_varying_spec(pipeline, textures, tile: int = 0):
     """The spec actually used by the Pallas kernel for this pipeline.
 
     Two traffic optimizations over the reference spec (each full-screen f32
@@ -98,10 +98,14 @@ def kernel_varying_spec(pipeline, textures):
     if len(dims) != 1:
         return spec
     h, w = next(iter(dims))
+    tile = _effective_tile(tile, h, w)
     out = []
     for name, comps, mode in spec:
         if name == "uv":
-            out.append(("texidx", 1, f"texidx:{w}:{h}"))
+            # 4th field = tile-swizzled layout (config.tex_tile); the
+            # kernel then emits indices into the matching packed plane.
+            m = f"texidx:{w}:{h}:{tile}" if tile else f"texidx:{w}:{h}"
+            out.append(("texidx", 1, m))
         elif mode == "const" and pipeline == "darboux":
             continue  # fetched via the per-triangle constant gather
         else:
@@ -242,13 +246,55 @@ _SAMPLERS = {
 # ---------------------------------------------------------------------------
 
 
-def _pk_key(names) -> str:
-    return "_pk:" + ",".join(names)
+def _pk_key(names, tile: int = 0) -> str:
+    return "_pk:" + ",".join(names) + (f"@{tile}" if tile else "")
 
 
-def pack_textures(textures, names, xp):
+def _effective_tile(tile, h, w) -> int:
+    """The tile actually applied: the requested one when it divides both
+    texture dims (config validation already pinned it to a power of two),
+    else 0 (plain row-major layout)."""
+    if tile and h % tile == 0 and w % tile == 0:
+        return int(tile)
+    return 0
+
+
+def _find_pk(textures, names):
+    """Locate the packed plane for `names` -> (plane, tile) or (None, 0).
+
+    pack_textures stores exactly one layout variant per name set (it
+    removes the others), so the scan is unambiguous."""
+    base = _pk_key(names)
+    pk = textures.get(base)
+    if pk is not None:
+        return pk, 0
+    prefix = base + "@"
+    for k in textures:
+        if k.startswith(prefix):
+            return textures[k], int(k[len(prefix):])
+    return None, 0
+
+
+def _swizzle_index(cx, cy, w, tile, xp):
+    """Row-major texel coords -> flat index in the tile-swizzled layout.
+
+    Pure permutation of [0, h*w): texels of one tile x tile block are
+    contiguous, so screen-adjacent fragments (which sample uv-adjacent
+    texels) hit nearby gather rows.  Integer-exact in f32 (indices are
+    < 2^24) AND in int32 — callers pass either."""
+    tx, ix = cx // tile, cx % tile
+    ty, iy = cy // tile, cy % tile
+    return ((ty * (w // tile) + tx) * tile + iy) * tile + ix
+
+
+def pack_textures(textures, names, xp, tile: int = 0):
     """Return a copy of `textures` with an (H, W, n) i32 packed plane for
-    `names` (one word per map per texel), when all relevant dims match."""
+    `names` (one word per map per texel), when all relevant dims match.
+
+    With `tile` > 0 (config.tex_tile) the plane is stored in tile-swizzled
+    flat order (same 2D shape; see _swizzle_index) and keyed _pk:...@tile;
+    samplers detect the layout from the key, so a textures dict is
+    self-describing and any stale other-layout variant is dropped here."""
     if not names:
         return textures
     texs = [textures[n] for n in names]
@@ -257,12 +303,27 @@ def pack_textures(textures, names, xp):
         dims.add(textures["normal_map"].shape[:2])
     if len(dims) != 1:
         return textures
+    h, w = next(iter(dims))
+    tile = _effective_tile(tile, h, w)
     words = []
     for t in texs:
         ti = t.astype(xp.int32)
         words.append(ti[..., 0] | (ti[..., 1] << 8) | (ti[..., 2] << 16))
-    out = dict(textures)
-    out[_pk_key(names)] = xp.stack(words, axis=-1)
+    pk = xp.stack(words, axis=-1)
+    if tile:
+        pk = xp.reshape(
+            xp.transpose(
+                xp.reshape(pk, (h // tile, tile, w // tile, tile, -1)),
+                (0, 2, 1, 3, 4),
+            ),
+            (h, w, -1),
+        )
+    out = {
+        k: v
+        for k, v in textures.items()
+        if not (k == _pk_key(names) or k.startswith(_pk_key(names) + "@"))
+    }
+    out[_pk_key(names, tile)] = pk
     return out
 
 
@@ -283,7 +344,10 @@ def sample_frag(textures, frag, names, xp):
     texidx = frag.get("texidx")
     if texidx is None:
         return sample_maps(textures, frag["uv"], names, xp)
-    pk = textures[_pk_key(names)]
+    # The kernel computed texidx for whichever layout the plane is stored
+    # in (kernel_varying_spec and pack_textures share config.tex_tile), so
+    # the flat gather below is layout-agnostic.
+    pk, _ = _find_pk(textures, names)
     flat = pk.reshape(-1, len(names))
     g = flat[texidx.astype(xp.int32)]  # (..., n) i32 words
     out = {}
@@ -313,11 +377,15 @@ def sample_maps(textures, uv, names, xp):
             return raw[..., 0].astype(xp.float32)
         return raw
 
-    pk = textures.get(_pk_key(names))
+    pk, tile = _find_pk(textures, names)
     if pk is not None:
         h, w = pk.shape[:2]
         cx, cy = _tex_coords(uv, w, h, xp)
-        g = pk[cy, cx]  # (..., n) i32 words — the one (native-width) gather
+        if tile:
+            idx = _swizzle_index(cx, cy, w, tile, xp)
+            g = pk.reshape(-1, pk.shape[-1])[idx]
+        else:
+            g = pk[cy, cx]  # (..., n) i32 words — one (native-width) gather
         return {
             n: decode(n, _unpack_rgb(g[..., i], xp)) for i, n in enumerate(names)
         }

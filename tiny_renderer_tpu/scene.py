@@ -67,6 +67,7 @@ class Scene:
                 "specular_map": jnp.asarray(model.specular_map),
             },
             pipeline_name,
+            tile=self.config.tex_tile,
         )
         self._frame_fn = make_frame_fn(pipeline_name, self.config, backend)
 
