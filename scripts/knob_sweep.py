@@ -54,19 +54,20 @@ def main():
     n = 72
     rng = np.random.default_rng()
 
-    def measure(cfg, pipeline="shadow", geom=None, inner=5):
+    def measure(cfg, pipeline="shadow", geom=None, inner=5, tex=None):
         """Median of `inner` long-vs-short burst marginals (n=72 vs 8).
         Longer bursts + median (not min) suppress both the tunnel-RTT
         jitter and the sporadic fast/slow chip excursions that made
         best-of-3 at n=40 swing +-0.5 ms rep to rep."""
         g = gj if geom is None else geom
+        tjx = tj if tex is None else tex
         base = float(rng.uniform(0, 1e-2))
         cam = (0.37 + base + 1e-4 * np.arange(n)).astype(np.float32)
         lig = (-0.6 + base + 1e-4 * np.arange(n)).astype(np.float32)
         burst = make_burst_fn(pipeline, cfg, backend="pallas")
 
         def run(c, l):
-            out = burst(g, tj, jnp.asarray(c), jnp.asarray(l))
+            out = burst(g, tjx, jnp.asarray(c), jnp.asarray(l))
             np.asarray(out["checksums"])
 
         run(cam[:8], lig[:8])
@@ -89,29 +90,37 @@ def main():
         f"chip health: {mxu_s}, {h['gather_ns_per_row']:.1f} ns/row",
         flush=True,
     )
-    # Current sweep: strip_planes (kernel-interpolated varying planes read
-    # at strip granularity by the compacted shade) vs the per-fragment
-    # attribute gather, on the three pipelines where the trade differs
-    # (shadow: 3 planes vs 16 rows/strip + shadow fetch; phong: 2 planes,
-    # one-pass; occlusion: 1 plane + 17-probe loop).  Earlier sweeps'
-    # variant lists live in git history.  Interleaved within one process
-    # (the chip drifts across runs — same-state A/B only).
+    # Current sweep: tex_tile (tile-swizzled packed texture plane — a pure
+    # permutation targeting the shade's gather-locality gap: diablo's
+    # effective cost was fitted at 9.9 ns/row vs the microprobe's 7.3,
+    # the difference being index scatter).  Texture-sampling pipelines
+    # only (the z-plane gathers are unaffected).  Per-variant prepack so
+    # the in-frame repack path never runs.  Earlier sweeps' variant lists
+    # live in git history.  Interleaved within one process (the chip
+    # drifts across runs — same-state A/B only).
     from tiny_renderer_tpu.ops.vertex import expand_geometry
 
     gx = expand_geometry(gj)
+    packs = {
+        (p, t): prepack_textures(
+            {k: jnp.asarray(v) for k, v in tex.items()}, p, tile=t
+        )
+        for p in ("shadow", "specular")
+        for t in (0, 8, 16, 32)
+    }
     variants = [
-        ("shadow gather ", RenderConfig(), gx),
-        ("shadow planes ", RenderConfig(strip_planes=True), gx),
-        ("phong  gather ", RenderConfig(), gx),
-        ("phong  planes ", RenderConfig(strip_planes=True), gx),
-        ("occl   gather ", RenderConfig(), gx),
-        ("occl   planes ", RenderConfig(strip_planes=True), gx),
+        ("shadow t0   ", RenderConfig(), gx, packs["shadow", 0]),
+        ("shadow t8   ", RenderConfig(tex_tile=8), gx, packs["shadow", 8]),
+        ("shadow t16  ", RenderConfig(tex_tile=16), gx, packs["shadow", 16]),
+        ("shadow t32  ", RenderConfig(tex_tile=32), gx, packs["shadow", 32]),
+        ("specular t0 ", RenderConfig(), gx, packs["specular", 0]),
+        ("specular t16", RenderConfig(tex_tile=16), gx, packs["specular", 16]),
     ]
-    results = {name: [] for name, _, _ in variants}
+    results = {name: [] for name, _, _, _ in variants}
     for rep in range(4):
-        for name, cfg, g in variants:
-            pipe = name.split()[0].replace("occl", "occlusion")
-            ms = measure(cfg, pipeline=pipe, geom=g)
+        for name, cfg, g, tx in variants:
+            pipe = name.split()[0]
+            ms = measure(cfg, pipeline=pipe, geom=g, tex=tx)
             results[name].append(ms)
             print(f"rep{rep} {name} {ms:7.3f} ms/frame", flush=True)
     print("--- medians over reps ---", flush=True)
