@@ -66,6 +66,7 @@ def _random_config(rng, width, height):
         compact_shade=bool(rng.integers(2)),
         idx_int16=bool(rng.integers(2)) and tile_h % 16 == 0,
         tex_tile=int(rng.choice([0, 8, 16])),
+        shadow_tile=int(rng.choice([0, 8, 16])),
     )
     return RenderConfig(**knobs)
 

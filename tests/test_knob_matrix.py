@@ -36,9 +36,12 @@ COMBOS = [
     ("swz16", dict(tex_tile=16)),
     ("swz16+planes", dict(tex_tile=16, strip_planes=True)),
     ("swz8+fullplane", dict(tex_tile=8, compact_shade=False)),
+    ("sswz16", dict(shadow_tile=16)),
+    ("sswz8+fuse", dict(shadow_tile=8, fuse_passes=True)),
+    ("sswz16+swz16", dict(shadow_tile=16, tex_tile=16)),
     ("all-on", dict(fuse_passes=True, strip_mask=True, strip_planes=True,
                     idx_int16=True, csr_indirect=False, tile_h=16,
-                    tex_tile=16)),
+                    tex_tile=16, shadow_tile=16)),
 ]
 
 

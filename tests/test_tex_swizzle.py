@@ -100,3 +100,81 @@ def test_tex_tile_validation():
         RenderConfig(tex_tile=12)
     with pytest.raises(ValueError):
         RenderConfig(tex_tile=-8)
+    RenderConfig(shadow_tile=8)
+    with pytest.raises(ValueError):
+        RenderConfig(shadow_tile=24)
+
+
+# ---------------------------------------------------------------------------
+# shadow_tile: the same swizzle applied to the shade's shadow-map copy.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tile", [8, 16])
+def test_shadow_fetch_identical_under_swizzle(tile):
+    """_shadow_fetch from the swizzled plane with the transformed indices
+    must be bit-identical to the row-major fetch — including the
+    reference's quirk coords: negatives (u32-saturated to 0), x beyond
+    width (the FLAT index wraps into the next row), and coords past the
+    buffer end (flat clamp to size-1)."""
+    h = w = 64
+    rng = np.random.default_rng(7)
+    plane = rng.standard_normal((h, w)).astype(np.float32)
+    sx = rng.uniform(-20, w + 20, size=(513,)).astype(np.float32)
+    sy = rng.uniform(-20, h + 20, size=(513,)).astype(np.float32)
+    plain = shaders._shadow_fetch(plane, sx, sy, w, np)
+    swz = shaders._shadow_fetch(
+        shaders.swizzle_plane(plane, tile, np), sx, sy, w, np, tile=tile
+    )
+    np.testing.assert_array_equal(plain, swz)
+
+
+def test_plane_tile_effective_contract():
+    from tiny_renderer_tpu.config import RenderConfig
+
+    cfg = RenderConfig(width=64, height=64, shadow_tile=16)
+    assert shaders.plane_tile_effective(cfg, (64, 64)) == 16
+    # Stride mismatch (padded buffer) or non-divisible dims: fallback.
+    assert shaders.plane_tile_effective(cfg, (64, 128)) == 0
+    cfg = RenderConfig(width=72, height=72, shadow_tile=16)
+    assert shaders.plane_tile_effective(cfg, (72, 72)) == 0
+
+
+@pytest.fixture(scope="module")
+def _head_scene(head_model):
+    from conftest import geom_dict, tex_dict
+
+    return geom_dict(head_model.mesh), tex_dict(head_model)
+
+
+@pytest.mark.parametrize("pipeline", ["shadow", "occlusion"])
+def test_shadow_tile_render_bit_identical(pipeline, _head_scene, camera):
+    """End-to-end: shadow_tile on/off renders the exact same frame through
+    the real two-pass path (occlusion exercises the 17-probe loop and its
+    dedup_gather composition on permuted indices)."""
+    import dataclasses
+
+    from tiny_renderer_tpu.config import RenderConfig
+    from tiny_renderer_tpu.pipelines.frame import render_frame
+
+    head_geom, head_tex = _head_scene
+    base = RenderConfig(width=64, height=64, strip_batch=32, tile_h=8)
+    ref = render_frame(
+        head_geom, head_tex, *camera, pipeline=pipeline, config=base,
+        backend="jnp",
+    )
+    for cfg in (
+        dataclasses.replace(base, shadow_tile=16),
+        dataclasses.replace(base, shadow_tile=16, occlusion_dedup=True),
+    ):
+        out = render_frame(
+            head_geom, head_tex, *camera, pipeline=pipeline, config=cfg,
+            backend="jnp",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["frame"]), np.asarray(ref["frame"])
+        )
+        # The returned (host-facing) shadow map stays row-major.
+        np.testing.assert_array_equal(
+            np.asarray(out["shadow"]), np.asarray(ref["shadow"])
+        )

@@ -182,6 +182,17 @@ class RenderConfig:
     # that divides both texture dims applies (else row-major fallback).
     tex_tile: int = 0
 
+    # Tile-swizzle the shade's copy of the pass-1 shadow map the same way
+    # (one elementwise relayout per frame; shadow_flat_indices transforms
+    # the fetch indices AFTER the reference's flat saturate+clamp, so the
+    # fetch is a pure permutation — bit-identical, tests pin it).  Targets
+    # the shadow compare (1 of the shadow pipeline's ~3 rows/fragment) and
+    # especially occlusion's 17-probe loop, whose sample coords cluster
+    # 2D-locally but scatter across up to 294 row-major columns at oblique
+    # angles (scripts/occlusion_locality.py).  Same power-of-two contract
+    # as tex_tile; 0 = row-major.
+    shadow_tile: int = 0
+
     # Camera/light orbit speeds in rad/s (src/app.rs:12-13).
     camera_speed: float = 3.0
     light_speed: float = 3.0
@@ -208,10 +219,12 @@ class RenderConfig:
                 "strip_len must be >= 1 with strip_batch * strip_len a "
                 f"multiple of 128, got {self.strip_batch} x {self.strip_len}"
             )
-        if self.tex_tile < 0 or (self.tex_tile & (self.tex_tile - 1)) != 0:
-            raise ValueError(
-                f"tex_tile must be 0 or a power of two, got {self.tex_tile}"
-            )
+        for knob in ("tex_tile", "shadow_tile"):
+            v = getattr(self, knob)
+            if v < 0 or (v & (v - 1)) != 0:
+                raise ValueError(
+                    f"{knob} must be 0 or a power of two, got {v}"
+                )
 
     @property
     def padded_width(self) -> int:

@@ -24,7 +24,12 @@ from ..ops import mathlib as ml
 from ..ops.vertex import triangle_setup
 from ..pipelines import shaders
 from ..pipelines.frame import PIPELINES, _GATHER_KEYS
-from ..pipelines.shaders import VARYING_SPECS, compute_varyings
+from ..pipelines.shaders import (
+    VARYING_SPECS,
+    compute_varyings,
+    plane_tile_effective,
+    swizzle_plane,
+)
 
 
 def _raster_serial(setup, height, width, *, shadow_mode=False):
@@ -142,7 +147,13 @@ def render_oracle(geom, textures, light_direction, look_from, look_at, up, *, pi
     varys["x"] = frag["x"]
     varys["y"] = frag["y"]
     if spec.two_pass:
-        varys["shadow_buffer"] = shadow_z
+        # The shared shade fetches decode config.shadow_tile's swizzled
+        # layout (shaders.plane_tile_effective) — mirror the device
+        # producer so the oracle stays valid for knobbed configs.
+        t = plane_tile_effective(config, shadow_z.shape)
+        varys["shadow_buffer"] = (
+            swizzle_plane(shadow_z, t, np) if t else shadow_z
+        )
     colors = spec.shade(varys, uniforms, textures, config, np)
 
     covered = (idx >= 0)[..., None]

@@ -47,6 +47,7 @@ from ..pipelines.frame import (
     _planes_spec,
     _shade_jnp_path,
     _shade_strips,
+    _shadow_for_shade,
     _strip_mask_len,
     _use_fused_raster,
 )
@@ -243,6 +244,11 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         textures = shaders.pack_textures(
             textures, _pipeline_maps()[pipeline], jnp, tile=config.tex_tile
         )
+    if spec.two_pass:
+        # Same per-shade relayout as frame.render_frame (config.shadow_tile;
+        # each device swizzles the gathered full map — elementwise, no
+        # further collective).
+        shadow_full = _shadow_for_shade(shadow_full, spec, config)
     if compact:
         frame = _shade_strips(
             setup, idx, pipeline, uniforms, textures, config,

@@ -399,13 +399,17 @@ def render_frame(
         )
         ovf2 = ovf2 | setup["coord_overflow"]
 
+    # The shade consumes the shadow map through its own (possibly
+    # tile-swizzled, config.shadow_tile) copy; callers see row-major.
+    shadow_shade = _shadow_for_shade(shadow_z, spec, config)
+
     if compact:
         if _pk_needed(textures, pipeline, config.tex_tile):
             textures = shaders.pack_textures(
                 textures, _PIPELINE_MAPS[pipeline], jnp, tile=config.tex_tile
             )
         frame = _shade_strips(
-            setup, idx, pipeline, uniforms, textures, config, shadow_z,
+            setup, idx, pipeline, uniforms, textures, config, shadow_shade,
             strip_mask=strips, planes=varys, planes_spec=kspec,
         )
         return {"frame": frame, "z": z, "shadow": shadow_z, "overflow": ovf1 | ovf2}
@@ -416,7 +420,7 @@ def render_frame(
         frag = _fragments_from_planes(kspec, varys, H, W)
         _add_const_gather(frag, kspec, vspec, setup, idx)
     if spec.two_pass:
-        frag["shadow_buffer"] = shadow_z
+        frag["shadow_buffer"] = shadow_shade
     if _pk_needed(textures, pipeline, config.tex_tile):
         textures = shaders.pack_textures(
             textures, _PIPELINE_MAPS[pipeline], jnp, tile=config.tex_tile
@@ -445,6 +449,20 @@ def _add_const_gather(frag, kspec, vspec, setup, idx):
     for name, comps, _ in dropped:
         frag[name] = g[..., pos : pos + comps]
         pos += comps
+
+
+def _shadow_for_shade(shadow_z, spec, config):
+    """The shadow plane as the shade fetches consume it: tile-swizzled
+    when config.shadow_tile applies (the fetch indices are transformed to
+    match in shadow_flat_indices — a pure permutation, bit-identical
+    output), row-major otherwise.  One relayout per frame, outside the
+    strip loop."""
+    if not spec.two_pass:
+        return shadow_z
+    t = shaders.plane_tile_effective(config, shadow_z.shape)
+    if not t:
+        return shadow_z
+    return shaders.swizzle_plane(shadow_z, t, jnp)
 
 
 def _shade_strips(setup, idx, pipeline, uniforms, textures, config, shadow_z,

@@ -416,14 +416,14 @@ def mat3_vec(m, v, xp):
     return xp.stack(out, axis=-1)
 
 
-def _shadow_fetch(shadow_buffer, sx, sy, width, xp):
+def _shadow_fetch(shadow_buffer, sx, sy, width, xp, tile: int = 0):
     """shadow_buffer[round(x) as u32 + round(y) as u32 * width].
 
     The reference's u32 cast saturates negatives to 0; the final index is
     unchecked and would panic out of range (shader.rs:774-778) — we clamp
-    (documented divergence).
+    (documented divergence).  `tile` per shadow_flat_indices.
     """
-    flat = shadow_flat_indices(sx, sy, shadow_buffer.shape, width, xp)
+    flat = shadow_flat_indices(sx, sy, shadow_buffer.shape, width, xp, tile)
     return shadow_buffer.reshape(-1)[flat]
 
 
@@ -514,7 +514,8 @@ def shade_shadow(frag, uniforms, textures, config, xp):
     p = xp.stack([x, y, z], axis=-1)
     sc = ml.mat4_transform_point(sm, p, xp)
     shadow_val = _shadow_fetch(
-        frag["shadow_buffer"], sc[..., 0], sc[..., 1], config.width, xp
+        frag["shadow_buffer"], sc[..., 0], sc[..., 1], config.width, xp,
+        tile=plane_tile_effective(config, frag["shadow_buffer"].shape),
     )
     shadow_coef = xp.where(
         sc[..., 2] + xp.float32(config.shadow_bias) < shadow_val,
@@ -566,15 +567,51 @@ def occlusion_sample_coords(xf, yf, zfrag, uniforms, config, xp):
     return xp.stack(sxs), xp.stack(sys)
 
 
-def shadow_flat_indices(sxs, sys, shadow_shape, width, xp):
+def shadow_flat_indices(sxs, sys, shadow_shape, width, xp, tile: int = 0):
     """Rounded, saturated, clamped FLAT shadow-buffer indices — exactly
     _shadow_fetch's index arithmetic (shader.rs:774-778 semantics), split
-    out so the stencil-fetch path indexes identically."""
+    out so the stencil-fetch path indexes identically.
+
+    With `tile` > 0 the caller's buffer is stored tile-swizzled
+    (swizzle_plane); the row-major flat index is decomposed AFTER the
+    reference's saturate+clamp (the clamp is on the flat index, not per
+    axis — an overflowing ix wraps into the next row exactly as the
+    row-major layout reads it) and re-encoded for the swizzled layout, so
+    the fetch returns bit-identical values."""
     ix = ml.rust_f32_to_u32(ml.rust_round(sxs, xp), xp)
     iy = ml.rust_f32_to_u32(ml.rust_round(sys, xp), xp)
     flat = ix + iy * xp.uint32(width)
     size = shadow_shape[0] * shadow_shape[1]
-    return xp.minimum(flat, xp.uint32(size - 1)).astype(xp.int32)
+    flat = xp.minimum(flat, xp.uint32(size - 1)).astype(xp.int32)
+    if tile:
+        y2 = flat // xp.int32(width)
+        x2 = flat - y2 * xp.int32(width)
+        flat = _swizzle_index(x2, y2, width, tile, xp)
+    return flat
+
+
+def plane_tile_effective(config, shape) -> int:
+    """The shadow-plane swizzle tile actually applied for this buffer:
+    config.shadow_tile when it divides both dims and the buffer stride
+    matches config.width (shadow_flat_indices' flat arithmetic assumes
+    it), else 0.  Producer (frame/sharding swizzle the plane) and
+    consumers (the shade fetches) must share this decision — both call
+    here."""
+    t = config.shadow_tile
+    h, w = shape[0], shape[1]
+    if t and h % t == 0 and w % t == 0 and w == config.width:
+        return int(t)
+    return 0
+
+
+def swizzle_plane(plane, tile, xp):
+    """Re-layout an (H, W) plane so each tile x tile block is contiguous
+    in flat order — the plane-side counterpart of _swizzle_index (same
+    (ty, tx, iy, ix) ordering as pack_textures' texture swizzle)."""
+    h, w = plane.shape
+    return xp.transpose(
+        xp.reshape(plane, (h // tile, tile, w // tile, tile)), (0, 2, 1, 3)
+    ).reshape(h, w)
 
 
 def occlusion_update(svals, fval, config, xp):
@@ -652,7 +689,10 @@ def occlusion_coefficient(xf, yf, zfrag, shadow_buffer, uniforms, config, xp):
     """
     n = config.occlusion_samples
     sxs, sys = occlusion_sample_coords(xf, yf, zfrag, uniforms, config, xp)
-    flat = shadow_flat_indices(sxs, sys, shadow_buffer.shape, config.width, xp)
+    flat = shadow_flat_indices(
+        sxs, sys, shadow_buffer.shape, config.width, xp,
+        tile=plane_tile_effective(config, shadow_buffer.shape),
+    )
     if config.occlusion_dedup and xp is not np:
         vals = dedup_gather(shadow_buffer.reshape(-1), flat)
     else:
