@@ -141,3 +141,35 @@ def test_cli_projection_knobs(tmp_path):
     a, b = out1.read_bytes(), out2.read_bytes()
     assert a and b and a != b
     assert main(base + ["--projection-distance", "0"]) == 2
+
+
+def test_cli_knob_overrides(tmp_path, capsys):
+    """--knob NAME=VALUE overrides RenderConfig fields (bit-identity-pinned
+    knobs, so the frame must not change); bad names/values exit 2 with the
+    field list (a silently-ignored typo would invalidate an experiment)."""
+    from tiny_renderer_tpu.app import apply_knobs, main
+    from tiny_renderer_tpu.config import RenderConfig
+
+    cfg = apply_knobs(
+        RenderConfig(), ["tex_tile=16", "strip_planes=true", "strip_len=32"]
+    )
+    assert cfg.tex_tile == 16 and cfg.strip_planes and cfg.strip_len == 32
+    with pytest.raises(ValueError, match="tex_tile"):
+        apply_knobs(RenderConfig(), ["no_such_knob=1"])
+    with pytest.raises(ValueError, match="not a bool"):
+        apply_knobs(RenderConfig(), ["strip_planes=maybe"])
+
+    base = str(tmp_path / "base.png")
+    knobbed = str(tmp_path / "knobbed.png")
+    argv = ["-p", "/root/reference/assets/african_head", "-s", "shadow",
+            "--size", "64", "64", "--frames", "1", "--backend", "jnp"]
+    assert main(argv + ["--save", base]) == 0
+    assert main(argv + ["--save", knobbed, "--knob", "shadow_tile=16",
+                        "--knob", "strip_batch=32"]) == 0
+    # Deterministic renders + deterministic encoder: byte-equal PNGs.
+    with open(base, "rb") as f1, open(knobbed, "rb") as f2:
+        assert f1.read() == f2.read()
+
+    rc = main(argv + ["--knob", "bogus=1"])
+    assert rc == 2
+    assert "bogus" in capsys.readouterr().err

@@ -95,7 +95,51 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "skip the first-frame compile")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent compilation cache")
+    ap.add_argument("--knob", action="append", default=[], metavar="NAME=VALUE",
+                    help="override a RenderConfig field (repeatable), e.g. "
+                         "--knob tex_tile=16 --knob strip_len=32; bools "
+                         "accept true/false.  Every perf knob is "
+                         "bit-identity-pinned, so output is unchanged — "
+                         "this exists for hardware experiments (see "
+                         "docs/API.md for the knob table)")
     return ap
+
+
+def apply_knobs(config, knob_args):
+    """Apply --knob NAME=VALUE overrides to a RenderConfig.
+
+    Values are coerced to the field's declared type (bool accepts
+    true/false/1/0).  Unknown names and malformed values raise ValueError
+    listing the valid fields — unlike unrecognized argv tokens, a mistyped
+    knob silently changing nothing would invalidate an experiment."""
+    import dataclasses
+
+    fields = {f.name: f for f in dataclasses.fields(type(config))}
+    updates = {}
+    for spec in knob_args:
+        name, sep, raw = spec.partition("=")
+        if not sep or name not in fields:
+            valid = ", ".join(sorted(fields))
+            raise ValueError(
+                f"--knob {spec!r}: expected NAME=VALUE with NAME one of: {valid}"
+            )
+        ftype = fields[name].type
+        if ftype in ("bool", bool):
+            low = raw.strip().lower()
+            if low in ("true", "1", "yes", "on"):
+                val = True
+            elif low in ("false", "0", "no", "off"):
+                val = False
+            else:
+                raise ValueError(f"--knob {spec!r}: not a bool: {raw!r}")
+        elif ftype in ("int", int):
+            val = int(raw)
+        elif ftype in ("float", float):
+            val = float(raw)
+        else:
+            val = raw
+        updates[name] = val
+    return dataclasses.replace(config, **updates) if updates else config
 
 
 def _angles_to_vectors(camera_angle: float, light_angle: float):
@@ -348,6 +392,11 @@ def main(argv=None) -> int:
         depth=args.depth,
         projection_coef=-1.0 / args.projection_distance,
     )
+    try:
+        config = apply_knobs(config, args.knob)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     scene = Scene(model, args.pipeline, config, backend=args.backend)
 
     with profile_trace(args.profile):
