@@ -178,3 +178,30 @@ def test_shadow_tile_render_bit_identical(pipeline, _head_scene, camera):
         np.testing.assert_array_equal(
             np.asarray(out["shadow"]), np.asarray(ref["shadow"])
         )
+
+
+@pytest.mark.parametrize("pipeline", ["specular", "darboux"])
+def test_tex_tile_multimap_kernel_bit_identical(pipeline, _head_scene, camera):
+    """The kernel texidx swizzle mode with MULTI-map packed planes
+    (specular: 3 words/texel, darboux: 2 + tangent-dims quirk) through
+    the real Pallas kernel (interpret) — the knob matrix covers only the
+    single-map shadow pipeline."""
+    import dataclasses
+
+    from tiny_renderer_tpu.config import RenderConfig
+    from tiny_renderer_tpu.pipelines.frame import render_frame
+
+    head_geom, head_tex = _head_scene
+    base = RenderConfig(width=64, height=64, strip_batch=32, tile_h=8)
+    ref = render_frame(
+        head_geom, head_tex, *camera, pipeline=pipeline, config=base,
+        backend="pallas_interpret", needs_z=False,
+    )
+    out = render_frame(
+        head_geom, head_tex, *camera, pipeline=pipeline,
+        config=dataclasses.replace(base, tex_tile=16),
+        backend="pallas_interpret", needs_z=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["frame"]), np.asarray(ref["frame"])
+    )
