@@ -42,11 +42,15 @@ from .assets.model import Model, load_model  # noqa: E402
 
 
 def __getattr__(name):
-    # Lazy import: Scene pulls in the full pipeline stack.
+    # Lazy imports: Scene/register_pipeline pull in the full pipeline stack.
     if name == "Scene":
         from .scene import Scene
 
         return Scene
+    if name in ("register_pipeline", "unregister_pipeline"):
+        from .pipelines import frame
+
+        return getattr(frame, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __version__ = "0.1.0"
@@ -67,5 +71,6 @@ __all__ = [
     "Model",
     "load_model",
     "PIPELINE_NAMES",
+    "register_pipeline",
     "__version__",
 ]

@@ -26,7 +26,6 @@ import time
 
 import numpy as np
 
-from . import PIPELINE_NAMES
 from .assets.model import load_model
 from .config import RenderConfig
 from .scene import Scene
@@ -54,8 +53,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("-p", dest="asset_path", default=_default_asset_path(),
                     help="asset directory (model.obj + 4 TGA maps)")
-    ap.add_argument("-s", dest="pipeline", default="default", choices=PIPELINE_NAMES,
-                    help="shader pipeline name")
+    # Live registry, not the static PIPELINE_NAMES tuple: pipelines added
+    # via register_pipeline() before build_arg_parser() are selectable.
+    from .pipelines.frame import PIPELINES
+
+    ap.add_argument("-s", dest="pipeline", default="default",
+                    choices=tuple(PIPELINES), help="shader pipeline name")
     ap.add_argument("--size", nargs=2, type=int, default=[800, 800],
                     metavar=("W", "H"), help="frame size (default 800 800)")
     ap.add_argument("--frames", type=int, default=60,

@@ -75,6 +75,121 @@ _GATHER_KEYS = {
     "occlusion": ("zv",),
 }
 
+# The varying vocabulary custom pipelines may compose from (everything
+# compute_varyings + the Pallas kernel's record builder understand):
+# varying name -> (allowed modes, triangle_setup gather key).
+_VARYING_VOCAB = {
+    "uv": (("interp",), "uv"),
+    "intensity": (("interp",), "intensity"),
+    "local_z": (("interp",), "t_norm"),
+    "zfrag": (("zfrag",), "zv"),
+    "row0": (("const",), "row0n"),
+    "row1": (("const",), "row1n"),
+    "du": (("const",), "du"),
+    "dv": (("const",), "dv"),
+}
+_VALID_NEEDS = ("face_intensity", "vertex_intensity", "darboux")
+
+
+def register_pipeline(name, shade, *, varying_spec, maps=(), needs=(),
+                      two_pass=False, overwrite=False):
+    """Register a custom shader pipeline under `name`.
+
+    Once registered, the name works everywhere a built-in does: Scene /
+    render_frame / render_burst on every backend (jnp, pallas,
+    pallas_interpret), the sharded multi-device paths, AND the CPU oracle
+    (render_oracle shares these tables), so a custom pipeline gets golden
+    parity testing for free.  Registration composes the existing
+    vertex-stage outputs; it does not add new vertex attributes.
+
+    Args:
+      name: pipeline name (key for Scene(model, name), -s on the CLI when
+        registered before build_arg_parser()).
+      shade: fragment shading function with the shared signature
+        ``shade(frag, uniforms, textures, config, xp) -> (..., 3) u8``
+        — xp-agnostic (jnp on device, np in the oracle).  `frag` carries
+        the interpolated varyings named in varying_spec plus "x"/"y"
+        pixel coords (and "shadow_buffer" when two_pass; fetch via
+        shaders._shadow_fetch with shaders.plane_tile_effective).  Use
+        shaders.sample_frag for texture reads so the packed/swizzled
+        fast paths apply.
+      varying_spec: tuple of (name, components, mode) drawn from the
+        vocabulary: uv(2, interp), intensity(1, interp),
+        local_z(3, interp), zfrag(1, zfrag), row0/row1(3, const),
+        du/dv(2, const).
+      maps: texture-map names the shade samples (word-packed together;
+        any keys present in the textures dict).
+      needs: vertex-stage extras, subset of {face_intensity,
+        vertex_intensity, darboux}.
+      two_pass: render the light-view depth pre-pass first (the shade
+        then receives "shadow_buffer" and shadow_pass_2 uniforms).
+      overwrite: allow replacing an existing registration.
+
+    Returns the PipelineSpec.  Raises ValueError on unknown varyings,
+    modes, or needs — a typo silently rendering garbage would be much
+    worse than an error.
+    """
+    if name in PIPELINES and not overwrite:
+        raise ValueError(
+            f"pipeline {name!r} already registered (pass overwrite=True "
+            "to replace it)"
+        )
+    gather = []
+    for entry in varying_spec:
+        vname, comps, mode = entry
+        if vname not in _VARYING_VOCAB:
+            raise ValueError(
+                f"unknown varying {vname!r}; available: "
+                f"{', '.join(sorted(_VARYING_VOCAB))}"
+            )
+        modes, key = _VARYING_VOCAB[vname]
+        if mode not in modes:
+            raise ValueError(
+                f"varying {vname!r} supports mode {modes[0]!r}, got {mode!r}"
+            )
+        if key not in gather:
+            gather.append(key)
+    for n in needs:
+        if n not in _VALID_NEEDS:
+            raise ValueError(
+                f"unknown vertex-stage need {n!r}; valid: {_VALID_NEEDS}"
+            )
+    # Setup keys only exist when the producing vertex-stage need is on —
+    # fail here rather than as a KeyError deep inside jit tracing.
+    if "intensity" in gather and not (
+        "face_intensity" in needs or "vertex_intensity" in needs
+    ):
+        raise ValueError(
+            "the 'intensity' varying requires needs to include "
+            "'face_intensity' or 'vertex_intensity'"
+        )
+    if any(k in gather for k in ("t_norm", "row0n", "row1n", "du", "dv")) \
+            and "darboux" not in needs:
+        raise ValueError(
+            "local_z/row0/row1/du/dv varyings require needs to include "
+            "'darboux'"
+        )
+    spec = PipelineSpec(name, tuple(needs), shade, two_pass=two_pass)
+    PIPELINES[name] = spec
+    VARYING_SPECS[name] = tuple(varying_spec)
+    _PIPELINE_MAPS[name] = tuple(maps)
+    shaders._PIPELINE_MAPS_FOR_SPEC[name] = tuple(maps)
+    _GATHER_KEYS[name] = tuple(gather)
+    return spec
+
+
+def unregister_pipeline(name):
+    """Remove a pipeline registered with register_pipeline (built-ins
+    refuse: the reference's 7 names are API surface)."""
+    if name in _BUILTIN_PIPELINES:
+        raise ValueError(f"cannot unregister built-in pipeline {name!r}")
+    for table in (PIPELINES, VARYING_SPECS, _PIPELINE_MAPS,
+                  shaders._PIPELINE_MAPS_FOR_SPEC, _GATHER_KEYS):
+        table.pop(name, None)
+
+
+_BUILTIN_PIPELINES = frozenset(PIPELINES)
+
 
 def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True,
                emit_strips=0):
