@@ -201,3 +201,42 @@ def test_example_module_registers(tmp_path, monkeypatch):
         assert "toon_ex" in PIPELINES
     finally:
         unregister_pipeline("toon_ex")
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs[:8]
+
+
+@pytest.mark.parametrize("pipe_fixture", ["toon", "fog"])
+def test_custom_pipeline_sharded(pipe_fixture, scene, camera, eight_devices,
+                                 request):
+    """Row-sharded rendering of a REGISTERED pipeline is bit-identical to
+    single-device — the sharded path reads the same live tables."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiny_renderer_tpu.parallel.sharding import (
+        make_row_mesh,
+        render_frame_sharded,
+    )
+
+    pipeline = request.getfixturevalue(pipe_fixture)
+    geom, tex = scene
+    cfg = RenderConfig(width=96, height=96, strip_batch=32, tile_h=8)
+    args = (
+        jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+        *map(jnp.asarray, camera),
+    )
+    mesh = make_row_mesh(eight_devices, batch=1)
+    sharded = render_frame_sharded(*args, pipeline=pipeline, config=cfg,
+                                   mesh=mesh)
+    single = make_frame_fn(pipeline, cfg, backend="jnp")(*args)
+    np.testing.assert_array_equal(
+        np.asarray(sharded["frame"]), np.asarray(single["frame"])
+    )
