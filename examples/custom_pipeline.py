@@ -13,7 +13,10 @@ Run:  python examples/custom_pipeline.py [asset_dir] [out.png]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 

@@ -1,0 +1,87 @@
+"""Multi-device (sharded) rendering.
+
+Renders one full frame with the screen rows sharded across a
+jax.sharding.Mesh — the scale-out path for resolutions/scenes beyond one
+chip (docs/API.md "Multi-chip"; the sharded output is bit-identical to
+single-device, pinned by tests/test_parallel.py).  On real hardware the
+mesh axes map onto the ICI fabric; here the script self-bootstraps 8
+virtual CPU devices so it runs anywhere (same technique as the driver's
+dryrun — the XLA flag must be set before the backend initializes).
+
+Run:  python examples/sharded_render.py [asset_dir] [out.png]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+N_DEVICES = 8
+
+os.environ["XLA_FLAGS"] = (
+    " ".join(
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    + f" --xla_force_host_platform_device_count={N_DEVICES}"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from tiny_renderer_tpu import RenderConfig, load_model
+    from tiny_renderer_tpu.ops.vertex import expand_geometry
+    from tiny_renderer_tpu.parallel.sharding import (
+        make_row_mesh,
+        render_frame_sharded,
+    )
+
+    asset = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/assets/diablo"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sharded.png"
+
+    model = load_model(asset)
+    geom = expand_geometry({
+        "positions": jnp.asarray(model.mesh.positions),
+        "tex_coords": jnp.asarray(model.mesh.tex_coords),
+        "normals": jnp.asarray(model.mesh.normals),
+        "pos_idx": jnp.asarray(model.mesh.pos_idx),
+        "tex_idx": jnp.asarray(model.mesh.tex_idx),
+        "normal_idx": jnp.asarray(model.mesh.normal_idx),
+    })
+    tex = {
+        "texture": jnp.asarray(model.texture),
+        "normal_map": jnp.asarray(model.normal_map),
+        "normal_map_tangent": jnp.asarray(model.normal_map_tangent),
+        "specular_map": jnp.asarray(model.specular_map),
+    }
+
+    mesh = make_row_mesh(jax.devices()[:N_DEVICES], batch=1)
+    print(f"mesh: {dict(mesh.shape)} over {N_DEVICES} devices")
+    cfg = RenderConfig(width=800, height=800)
+    result = render_frame_sharded(
+        geom, tex,
+        jnp.asarray([0.35, 0.0, 0.94], jnp.float32),   # light
+        jnp.asarray([0.25, 0.0, 0.97], jnp.float32),   # look_from
+        jnp.zeros(3, jnp.float32),                     # look_at
+        jnp.asarray([0.0, 1.0, 0.0], jnp.float32),     # up
+        pipeline="shadow", config=cfg, mesh=mesh,
+    )
+    frame = np.asarray(result["frame"])[::-1]  # presentation flip
+
+    from tiny_renderer_tpu.utils.png import write_png
+
+    write_png(out, frame)
+    print(f"wrote {out} ({frame.shape[1]}x{frame.shape[0]}, "
+          f"overflow={bool(np.asarray(result['overflow']).any())})")
+
+
+if __name__ == "__main__":
+    main()
