@@ -47,7 +47,8 @@ def _find_assets():
     raise FileNotFoundError("no asset root found")
 
 
-def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800):
+def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800,
+                 subdivide=0):
     import jax
     import jax.numpy as jnp
 
@@ -55,6 +56,15 @@ def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800):
     from tiny_renderer_tpu.pipelines.frame import make_burst_fn
 
     model = load_model(os.path.join(asset_root, asset), verbose=False)
+    if subdivide:
+        import dataclasses
+
+        from tiny_renderer_tpu.assets.mesh_tools import subdivide_mesh
+
+        model = dataclasses.replace(
+            model, mesh=subdivide_mesh(model.mesh, levels=subdivide)
+        )
+        asset = f"{asset}_x{4 ** subdivide}"
     config = RenderConfig(width=size, height=size)
     scene = Scene(model, pipeline, config, backend=backend)
 
@@ -204,6 +214,8 @@ def main():
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--all", action="store_true", help="run all 5 configs (stderr report)")
+    ap.add_argument("--stress", action="store_true",
+                    help="add the 80k-triangle capacity config (stderr only)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="skip the persistent XLA compile cache (warm starts "
                          "only shorten compile wall time; measured ms/frame "
@@ -239,9 +251,15 @@ def main():
     )
 
     results = []
-    configs = CONFIGS if args.all else [("diablo", "shadow", False)]
-    for asset, pipeline, orbit in configs:
-        r = bench_config(asset_root, asset, pipeline, orbit, args.frames, args.backend, args.size)
+    configs = [c + (0,) for c in (CONFIGS if args.all else [("diablo", "shadow", False)])]
+    if args.stress:
+        # Capacity config: diablo subdivided 2x = 80,352 triangles (16x the
+        # reference's largest scene; assets.mesh_tools).  stderr-only — the
+        # JSON headline stays the reference workload.
+        configs.append(("diablo", "phong", True, 2))
+    for asset, pipeline, orbit, subdiv in configs:
+        r = bench_config(asset_root, asset, pipeline, orbit, args.frames,
+                         args.backend, args.size, subdivide=subdiv)
         results.append(r)
         print(
             f"# {r['asset']:13s} {r['pipeline']:9s} {r['ms_per_frame']:8.3f} ms/frame "
