@@ -70,9 +70,20 @@ def main():
     tj = {k: jnp.asarray(v) for k, v in tex.items()}
     cam = (jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at), jnp.asarray(up))
 
+    # Every pipeline at the default config, plus the pure-permutation
+    # layout knobs (tex_tile / shadow_tile) on the pipelines they touch —
+    # certifying the swizzled gather paths on REAL hardware, not just
+    # interpret mode.
+    runs = [(p, cfg, "") for p in sorted(PIPELINES)]
+    if args.size % 16 == 0:
+        import dataclasses
+
+        swz = dataclasses.replace(cfg, tex_tile=16, shadow_tile=16)
+        runs += [(p, swz, "+swz16") for p in ("shadow", "occlusion", "specular")]
+
     failures = 0
-    for pipeline in sorted(PIPELINES):
-        fn = make_frame_fn(pipeline, cfg)
+    for pipeline, rcfg, tag in runs:
+        fn = make_frame_fn(pipeline, rcfg)
         t0 = time.time()
         out = jax.block_until_ready(fn(gj, tj, *cam))
         compile_s = time.time() - t0
@@ -83,13 +94,14 @@ def main():
         ms = (time.time() - t0) * 1e3 / 10
 
         oracle = render_oracle(geom, tex, light, look_from, look_at, up,
-                               pipeline=pipeline, config=cfg)
+                               pipeline=pipeline, config=rcfg)
         frame = np.asarray(out["frame"])
         mismatch = (frame != oracle["frame"]).any(axis=-1).mean()
         ok = mismatch <= args.budget
         failures += 0 if ok else 1
         print(
-            f"{pipeline:11s} {'OK ' if ok else 'FAIL'} mismatch={mismatch:.4%} "
+            f"{pipeline + tag:17s} {'OK ' if ok else 'FAIL'} "
+            f"mismatch={mismatch:.4%} "
             f"{ms:7.3f} ms/frame (compile {compile_s:.1f}s)"
         )
     sys.exit(1 if failures else 0)
