@@ -7,8 +7,6 @@ strip-compacted shade path engaged.  Validation must reject typos
 loudly — a silently-garbage render is the failure mode to prevent.
 """
 
-import dataclasses
-
 import numpy as np
 import pytest
 
