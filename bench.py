@@ -234,7 +234,32 @@ def main():
 
         enable_compile_cache()
 
+    # Watchdog around the first device op only: on a dead axon tunnel a
+    # fresh process blocks here FOREVER at 0% CPU (one >8 h outage
+    # observed) — better to emit a parseable failure line than hang the
+    # caller.  900 s is generous for the slowest healthy init; the alarm
+    # is cancelled the moment the sentinel op completes, so compiles and
+    # the actual bench are never at risk.
+    import signal
+
+    def _dead_tunnel(_sig, _frm):
+        print(
+            json.dumps({
+                "metric": "ms/frame diablo 800x800 phong+shadow",
+                "value": None, "unit": "ms", "vs_baseline": None,
+                "error": "TPU init watchdog: no device op within 900s "
+                         "(dead axon tunnel; see CLAUDE.md)",
+            }),
+            flush=True,
+        )
+        os._exit(3)
+
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _dead_tunnel)
+        signal.alarm(900)
     np.asarray(jnp.ones((8, 128)) * 2)
+    if hasattr(signal, "SIGALRM"):
+        signal.alarm(0)
     print("TUNNEL-LIVE", file=sys.stderr, flush=True)
 
     health = chip_health()
