@@ -127,6 +127,12 @@ def apply_knobs(config, knob_args):
                 f"--knob {spec!r}: expected NAME=VALUE with NAME one of: {valid}"
             )
         ftype = fields[name].type
+        if isinstance(ftype, str) and ftype.endswith("| None"):
+            # Optional fields (e.g. max_incidences: int | None).
+            if raw.strip().lower() in ("none", "null"):
+                updates[name] = None
+                continue
+            ftype = ftype.replace("| None", "").strip()
         if ftype in ("bool", bool):
             low = raw.strip().lower()
             if low in ("true", "1", "yes", "on"):
