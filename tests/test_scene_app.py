@@ -173,3 +173,63 @@ def test_cli_knob_overrides(tmp_path, capsys):
     rc = main(argv + ["--knob", "bogus=1"])
     assert rc == 2
     assert "bogus" in capsys.readouterr().err
+
+
+def test_cli_ssaa(tmp_path):
+    """--ssaa N renders at N x and box-averages to the requested size;
+    the resolve matches a manual downsample of the N x render (quality
+    feature beyond the reference)."""
+    import numpy as np
+
+    from tiny_renderer_tpu.app import main
+    from tiny_renderer_tpu.utils.png import downsample_box
+
+    big = str(tmp_path / "big.png")
+    aa = str(tmp_path / "aa.png")
+    base = ["-p", "/root/reference/assets/african_head", "-s", "phong",
+            "--frames", "1", "--backend", "jnp"]
+    assert main(base + ["--size", "64", "64", "--ssaa", "2",
+                        "--save", aa]) == 0
+    assert main(base + ["--size", "128", "128", "--save", big]) == 0
+
+    import struct
+    import zlib
+
+    def read_png(p):
+        d = open(p, "rb").read()
+        w, h = struct.unpack(">II", d[16:24])
+        raw, pos = b"", 8
+        while pos < len(d):
+            (ln,), tag = struct.unpack(">I", d[pos:pos+4]), d[pos+4:pos+8]
+            if tag == b"IDAT":
+                raw += d[pos+8:pos+8+ln]
+            pos += 12 + ln
+        px = zlib.decompress(raw)
+        rows = np.frombuffer(px, np.uint8).reshape(h, w * 3 + 1)
+        assert (rows[:, 0] == 0).all()  # filter 0
+        return rows[:, 1:].reshape(h, w, 3)
+
+    aa_img = read_png(aa)
+    assert aa_img.shape == (64, 64, 3)
+    np.testing.assert_array_equal(aa_img, downsample_box(read_png(big), 2))
+
+    # SSAA is headless-only.
+    rc = main(base + ["--size", "64", "64", "--ssaa", "2", "--interactive"])
+    assert rc == 2
+
+
+def test_downsample_box_units():
+    import numpy as np
+
+    from tiny_renderer_tpu.utils.png import downsample_box
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2, :2] = 255
+    out = downsample_box(img, 2)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0, 0] == 255 and out[1, 1, 0] == 0
+    # Rounded-to-nearest average.
+    img = np.array([[[0], [1]], [[1], [1]]], np.uint8).repeat(3, axis=-1)
+    assert downsample_box(img, 2)[0, 0, 0] == 1  # (3 + 2) // 4
+    with pytest.raises(ValueError):
+        downsample_box(np.zeros((3, 4, 3), np.uint8), 2)

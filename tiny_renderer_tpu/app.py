@@ -29,7 +29,7 @@ import numpy as np
 from .assets.model import load_model
 from .config import RenderConfig
 from .scene import Scene
-from .utils.png import write_png
+from .utils.png import downsample_box, write_png
 from .utils.timing import FpsCounter, profile_trace
 
 DEFAULT_ASSET_ROOTS = (
@@ -98,6 +98,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "skip the first-frame compile")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent compilation cache")
+    ap.add_argument("--ssaa", type=int, default=1, metavar="N",
+                    help="supersampled antialiasing: render at N x the "
+                         "requested size and box-average down (headless/"
+                         "--save/--save-seq paths; debug dumps stay at "
+                         "render resolution).  A quality feature beyond "
+                         "the reference — output is NOT parity-comparable")
     ap.add_argument("--knob", action="append", default=[], metavar="NAME=VALUE",
                     help="override a RenderConfig field (repeatable), e.g. "
                          "--knob tex_tile=16 --knob strip_len=32; bools "
@@ -347,7 +353,7 @@ def run_interactive(scene: Scene, args, viewer=None, clock=time.monotonic) -> np
     return frame
 
 
-def run_sequence(scene: Scene, args) -> np.ndarray:
+def run_sequence(scene: Scene, args, ssaa: int = 1) -> np.ndarray:
     """Render the orbit animation as ONE device burst and dump PNG frames."""
     import jax.numpy as jnp
 
@@ -369,8 +375,11 @@ def run_sequence(scene: Scene, args) -> np.ndarray:
     frames = fetch(out["frames"])
     os.makedirs(args.save_seq, exist_ok=True)
     for i in range(n):
-        write_png(os.path.join(args.save_seq, f"frame_{i:04d}.png"), frames[i][::-1])
+        write_png(os.path.join(args.save_seq, f"frame_{i:04d}.png"),
+                  downsample_box(frames[i][::-1], ssaa))
     print(f"wrote {n} frames to {args.save_seq}")
+    # The final frame is returned pre-resolve; main() downsamples for
+    # --save (matching the headless path's contract).
     return frames[-1][::-1]
 
 
@@ -395,9 +404,14 @@ def main(argv=None) -> int:
     if args.projection_distance == 0.0:
         print("error: --projection-distance must be nonzero", file=sys.stderr)
         return 2
+    ssaa = max(1, args.ssaa)
+    if ssaa > 1 and args.interactive:
+        print("error: --ssaa is headless-only (--save/--save-seq)",
+              file=sys.stderr)
+        return 2
     config = RenderConfig(
-        width=width,
-        height=height,
+        width=width * ssaa,
+        height=height * ssaa,
         depth=args.depth,
         projection_coef=-1.0 / args.projection_distance,
     )
@@ -410,14 +424,14 @@ def main(argv=None) -> int:
 
     with profile_trace(args.profile):
         if args.save_seq:
-            frame = run_sequence(scene, args)
+            frame = run_sequence(scene, args, ssaa=ssaa)
         elif args.interactive:
             frame = run_interactive(scene, args)
         else:
             frame = run_headless(scene, args)
 
     if args.save and frame is not None:
-        write_png(args.save, frame)
+        write_png(args.save, downsample_box(frame, ssaa))
         print(f"wrote {args.save}")
     if args.dump_z:
         write_png(args.dump_z, scene.get_z_buffer())

@@ -29,3 +29,18 @@ def write_png(path: str, image: np.ndarray) -> None:
         f.write(_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
         f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
         f.write(_chunk(b"IEND", b""))
+
+
+def downsample_box(image: np.ndarray, n: int) -> np.ndarray:
+    """Box-average an (H, W, C) u8 image by an integer factor n (SSAA
+    resolve: render at n x supersampling, average each n x n block back
+    to one pixel).  Rounded-to-nearest integer average — deterministic,
+    no float paths."""
+    if n <= 1:
+        return image
+    h, w, c = image.shape
+    if h % n or w % n:
+        raise ValueError(f"image {h}x{w} not divisible by ssaa factor {n}")
+    blocks = image.reshape(h // n, n, w // n, n, c).astype(np.uint32)
+    total = blocks.sum(axis=(1, 3))
+    return ((total + n * n // 2) // (n * n)).astype(np.uint8)
