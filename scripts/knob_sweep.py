@@ -109,12 +109,19 @@ def main():
         for t in (0, 8, 16, 32)
     }
     variants = [
-        ("shadow t0   ", RenderConfig(), gx, packs["shadow", 0]),
-        ("shadow t8   ", RenderConfig(tex_tile=8), gx, packs["shadow", 8]),
-        ("shadow t16  ", RenderConfig(tex_tile=16), gx, packs["shadow", 16]),
-        ("shadow t32  ", RenderConfig(tex_tile=32), gx, packs["shadow", 32]),
-        ("specular t0 ", RenderConfig(), gx, packs["specular", 0]),
-        ("specular t16", RenderConfig(tex_tile=16), gx, packs["specular", 16]),
+        ("shadow t0      ", RenderConfig(), gx, packs["shadow", 0]),
+        ("shadow t8      ", RenderConfig(tex_tile=8), gx, packs["shadow", 8]),
+        ("shadow t16     ", RenderConfig(tex_tile=16), gx, packs["shadow", 16]),
+        ("shadow t32     ", RenderConfig(tex_tile=32), gx, packs["shadow", 32]),
+        ("shadow s16     ", RenderConfig(shadow_tile=16), gx, packs["shadow", 0]),
+        ("shadow t16+s16 ", RenderConfig(tex_tile=16, shadow_tile=16), gx,
+         packs["shadow", 16]),
+        ("specular t0    ", RenderConfig(), gx, packs["specular", 0]),
+        ("specular t16   ", RenderConfig(tex_tile=16), gx, packs["specular", 16]),
+        ("occlusion s0   ", RenderConfig(), gx, packs["shadow", 0]),
+        ("occlusion s8   ", RenderConfig(shadow_tile=8), gx, packs["shadow", 0]),
+        ("occlusion s16  ", RenderConfig(shadow_tile=16), gx, packs["shadow", 0]),
+        ("occlusion s32  ", RenderConfig(shadow_tile=32), gx, packs["shadow", 0]),
     ]
     results = {name: [] for name, _, _, _ in variants}
     for rep in range(4):
