@@ -237,12 +237,19 @@ def main():
     # Watchdog around the first device op only: on a dead axon tunnel a
     # fresh process blocks here FOREVER at 0% CPU (one >8 h outage
     # observed) — better to emit a parseable failure line than hang the
-    # caller.  900 s is generous for the slowest healthy init; the alarm
-    # is cancelled the moment the sentinel op completes, so compiles and
-    # the actual bench are never at risk.
-    import signal
+    # caller.  900 s is generous for the slowest healthy init; the event
+    # is set the moment the sentinel op completes, so compiles and the
+    # actual bench are never at risk.  A daemon THREAD, not SIGALRM: a
+    # Python signal handler only runs when the main thread re-enters the
+    # eval loop, which a thread wedged inside the runtime's C++ wait
+    # never does (same reason Ctrl-C can't interrupt a hung device op).
+    import threading
 
-    def _dead_tunnel(_sig, _frm):
+    _live = threading.Event()
+
+    def _watchdog():
+        if _live.wait(900):
+            return
         print(
             json.dumps({
                 "metric": "ms/frame diablo 800x800 phong+shadow",
@@ -254,12 +261,9 @@ def main():
         )
         os._exit(3)
 
-    if hasattr(signal, "SIGALRM"):
-        signal.signal(signal.SIGALRM, _dead_tunnel)
-        signal.alarm(900)
+    threading.Thread(target=_watchdog, daemon=True).start()
     np.asarray(jnp.ones((8, 128)) * 2)
-    if hasattr(signal, "SIGALRM"):
-        signal.alarm(0)
+    _live.set()
     print("TUNNEL-LIVE", file=sys.stderr, flush=True)
 
     health = chip_health()

@@ -27,8 +27,8 @@ def main():
 
     from tiny_renderer_tpu.app import main as app_main
 
-    app_main(sys.argv[1:])
+    return app_main(sys.argv[1:])
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -15,13 +15,19 @@
 # a 900s hard cap per attempt regardless.
 LOG=$1; shift
 shift  # legacy pattern arg, unused
-cpu_secs() {  # total CPU seconds of $1 and its descendants
-  local total=0 p
-  for p in $1 $(pgrep -P "$1" 2>/dev/null) $(pgrep -P "$(pgrep -P "$1" 2>/dev/null | head -1)" 2>/dev/null); do
-    [ -r "/proc/$p/stat" ] || continue
-    local st
-    st=$(awk '{print int(($14+$15)/100)}' "/proc/$p/stat" 2>/dev/null) || continue
-    total=$((total + st))
+cpu_secs() {  # total CPU seconds of $1 and ALL its descendants (BFS walk)
+  local total=0 queue="$1" p st kids
+  while [ -n "$queue" ]; do
+    set -- $queue
+    p=$1; shift; queue="$*"
+    if [ -r "/proc/$p/stat" ]; then
+      # utime+stime plus cutime+cstime so CPU burned by already-reaped
+      # children (e.g. exited compile workers) stays counted.
+      st=$(awk '{print int(($14+$15+$16+$17)/100)}' "/proc/$p/stat" 2>/dev/null) && \
+        total=$((total + st))
+    fi
+    kids=$(pgrep -P "$p" 2>/dev/null | tr '\n' ' ')
+    [ -n "$kids" ] && queue="$queue $kids"
   done
   echo $total
 }
@@ -36,6 +42,13 @@ for attempt in 1 2 3 4 5 6 7; do
     if ! kill -0 $PID 2>/dev/null; then live=2; break; fi
     if grep -q TUNNEL-LIVE "$LOG"; then live=1; break; fi
     cur_cpu=$(cpu_secs $PID)
+    if [ $cur_cpu -lt $prev_cpu ]; then
+      # A counted descendant exited (its seconds left the sum before
+      # being reaped into an ancestor) — something WAS alive and burning;
+      # not a wedge.  Rebase and keep waiting.
+      prev_cpu=$cur_cpu
+      continue
+    fi
     if [ $((cur_cpu - prev_cpu)) -lt 5 ]; then
       break  # <5s CPU in the last minute and no sentinel: wedged
     fi
@@ -45,12 +58,17 @@ for attempt in 1 2 3 4 5 6 7; do
     wait $PID; echo "[retry-wrapper] attempt $attempt finished rc=$?" >> "$LOG"; exit 0
   fi
   echo "[retry-wrapper] attempt $attempt wedged; killing tree of $PID" >> "$LOG"
-  # Kill grandchildren (python under timeout), then children, then the head.
-  for child in $(pgrep -P $PID); do
-    pkill -9 -P $child 2>/dev/null
-    kill -9 $child 2>/dev/null
+  # Collect the whole descendant tree (BFS, by parent pid — never by
+  # pattern), then kill leaves-first so nothing reparents mid-walk.
+  tree=""; queue="$PID"
+  while [ -n "$queue" ]; do
+    set -- $queue
+    p=$1; shift; queue="$*"
+    tree="$p $tree"
+    kids=$(pgrep -P "$p" 2>/dev/null | tr '\n' ' ')
+    [ -n "$kids" ] && queue="$queue $kids"
   done
-  kill -9 $PID 2>/dev/null
+  for p in $tree; do kill -9 "$p" 2>/dev/null; done
   sleep 60
 done
 echo "[retry-wrapper] all attempts wedged" >> "$LOG"; exit 1

@@ -152,6 +152,56 @@ def test_registration_validation(toon):
         unregister_pipeline("shadow")
 
 
+def test_registration_rejects_wrong_component_count():
+    # A wrong comps value would misalign every later varying's plane /
+    # record lanes — silently-garbage pixels, the exact failure mode the
+    # validation exists to prevent.
+    with pytest.raises(ValueError, match="components"):
+        register_pipeline("bad", shade_toon,
+                          varying_spec=(("uv", 3, "interp"),))
+    with pytest.raises(ValueError, match="components"):
+        register_pipeline("bad", shade_toon,
+                          varying_spec=(("zfrag", 2, "zfrag"),))
+    assert "bad" not in PIPELINES
+
+
+def test_overwrite_invalidates_jit_cache(scene, camera):
+    """register_pipeline(overwrite=True) must not serve renders compiled
+    against the OLD shade: the jit caches are keyed on the pipeline NAME
+    alone, so re-registration has to invalidate them."""
+
+    def shade_red(frag, uniforms, textures, config, xp):
+        rgb = xp.zeros(frag["intensity"].shape + (3,), xp.uint8)
+        return rgb.at[..., 0].set(200) if xp is not np else _np_set(rgb)
+
+    def _np_set(rgb):
+        rgb[..., 0] = 200
+        return rgb
+
+    def shade_green(frag, uniforms, textures, config, xp):
+        rgb = xp.zeros(frag["intensity"].shape + (3,), xp.uint8)
+        return rgb.at[..., 1].set(200) if xp is not np else _np_set_g(rgb)
+
+    def _np_set_g(rgb):
+        rgb[..., 1] = 200
+        return rgb
+
+    spec = (("intensity", 1, "interp"),)
+    register_pipeline("swap", shade_red, varying_spec=spec,
+                      needs=("vertex_intensity",))
+    try:
+        red = _render("swap", scene, camera, "jnp")
+        assert (red[..., 0] == 200).any() and not (red[..., 1] == 200).any()
+        register_pipeline("swap", shade_green, varying_spec=spec,
+                          needs=("vertex_intensity",), overwrite=True)
+        green = _render("swap", scene, camera, "jnp")
+        assert (green[..., 1] == 200).any(), \
+            "stale jit cache served the old shade after overwrite=True"
+        assert not (green[..., 0] == 200).any()
+    finally:
+        unregister_pipeline("swap")
+
+
 def test_unregister_cleans_all_tables():
     from tiny_renderer_tpu.pipelines.frame import _GATHER_KEYS, _PIPELINE_MAPS
 

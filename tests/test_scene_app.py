@@ -217,6 +217,16 @@ def test_cli_ssaa(tmp_path):
     rc = main(base + ["--size", "64", "64", "--ssaa", "2", "--interactive"])
     assert rc == 2
 
+    # --knob width/height overrides compose with --ssaa: knobs apply at
+    # the requested size, THEN the ssaa scale (regression: knobs used to
+    # clobber the scaled size and crash the divisibility check).
+    kn = str(tmp_path / "knob_aa.png")
+    assert main(base + ["--size", "32", "32", "--ssaa", "2",
+                        "--knob", "width=64", "--knob", "height=64",
+                        "--save", kn]) == 0
+    assert read_png(kn).shape == (64, 64, 3)
+    np.testing.assert_array_equal(read_png(kn), aa_img)
+
 
 def test_downsample_box_units():
     import numpy as np

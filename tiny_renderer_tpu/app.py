@@ -19,6 +19,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import math
 import os
 import sys
@@ -410,8 +411,8 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     config = RenderConfig(
-        width=width * ssaa,
-        height=height * ssaa,
+        width=width,
+        height=height,
         depth=args.depth,
         projection_coef=-1.0 / args.projection_distance,
     )
@@ -420,6 +421,12 @@ def main(argv=None) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    if ssaa > 1:
+        # Scale AFTER knobs so --knob width/height overrides compose with
+        # --ssaa (render at N x the requested size, downsample at save).
+        config = dataclasses.replace(
+            config, width=config.width * ssaa, height=config.height * ssaa
+        )
     scene = Scene(model, args.pipeline, config, backend=args.backend)
 
     with profile_trace(args.profile):

@@ -391,3 +391,11 @@ def render_batch_sharded(
     else:
         (frames, ovfs), zs = outs, None
     return {"frame": frames, "z": zs, "overflow": jnp.any(ovfs, axis=1)}
+
+
+# The sharded jits are also keyed on the pipeline NAME; register them so
+# register_pipeline(overwrite=True)/unregister_pipeline invalidate their
+# compiled executables too (frame._clear_pipeline_jit_caches).
+from ..pipelines import frame as _frame  # noqa: E402
+
+_frame._PIPELINE_JIT_FNS.extend([render_frame_sharded, render_batch_sharded])

@@ -79,16 +79,30 @@ _GATHER_KEYS = {
 # compute_varyings + the Pallas kernel's record builder understand):
 # varying name -> (allowed modes, triangle_setup gather key).
 _VARYING_VOCAB = {
-    "uv": (("interp",), "uv"),
-    "intensity": (("interp",), "intensity"),
-    "local_z": (("interp",), "t_norm"),
-    "zfrag": (("zfrag",), "zv"),
-    "row0": (("const",), "row0n"),
-    "row1": (("const",), "row1n"),
-    "du": (("const",), "du"),
-    "dv": (("const",), "dv"),
+    "uv": (("interp",), "uv", 2),
+    "intensity": (("interp",), "intensity", 1),
+    "local_z": (("interp",), "t_norm", 3),
+    "zfrag": (("zfrag",), "zv", 1),
+    "row0": (("const",), "row0n", 3),
+    "row1": (("const",), "row1n", 3),
+    "du": (("const",), "du", 2),
+    "dv": (("const",), "dv", 2),
 }
 _VALID_NEEDS = ("face_intensity", "vertex_intensity", "darboux")
+
+
+def _clear_pipeline_jit_caches():
+    """Drop every compiled executable keyed on a pipeline NAME.
+
+    render_frame_jit / render_burst (and the sharded jits, which append
+    themselves to this list on import) treat the pipeline name as a static
+    string — replacing a registration under the same name would otherwise
+    keep serving renders traced against the OLD shade function."""
+    for fn in _PIPELINE_JIT_FNS:
+        fn.clear_cache()
+
+
+_PIPELINE_JIT_FNS = []
 
 
 def register_pipeline(name, shade, *, varying_spec, maps=(), needs=(),
@@ -142,10 +156,17 @@ def register_pipeline(name, shade, *, varying_spec, maps=(), needs=(),
                 f"unknown varying {vname!r}; available: "
                 f"{', '.join(sorted(_VARYING_VOCAB))}"
             )
-        modes, key = _VARYING_VOCAB[vname]
+        modes, key, want_comps = _VARYING_VOCAB[vname]
         if mode not in modes:
             raise ValueError(
                 f"varying {vname!r} supports mode {modes[0]!r}, got {mode!r}"
+            )
+        if comps != want_comps:
+            # A wrong count would misalign every later varying's plane /
+            # record lanes and render garbage — reject it here.
+            raise ValueError(
+                f"varying {vname!r} has {want_comps} components, "
+                f"got {comps}"
             )
         if key not in gather:
             gather.append(key)
@@ -170,6 +191,10 @@ def register_pipeline(name, shade, *, varying_spec, maps=(), needs=(),
             "'darboux'"
         )
     spec = PipelineSpec(name, tuple(needs), shade, two_pass=two_pass)
+    if name in PIPELINES:
+        # Replacing a live registration: compiled executables traced
+        # against the old shade are keyed only on the name — drop them.
+        _clear_pipeline_jit_caches()
     PIPELINES[name] = spec
     VARYING_SPECS[name] = tuple(varying_spec)
     _PIPELINE_MAPS[name] = tuple(maps)
@@ -183,6 +208,8 @@ def unregister_pipeline(name):
     refuse: the reference's 7 names are API surface)."""
     if name in _BUILTIN_PIPELINES:
         raise ValueError(f"cannot unregister built-in pipeline {name!r}")
+    if name in PIPELINES:
+        _clear_pipeline_jit_caches()
     for table in (PIPELINES, VARYING_SPECS, _PIPELINE_MAPS,
                   shaders._PIPELINE_MAPS_FOR_SPEC, _GATHER_KEYS):
         table.pop(name, None)
@@ -769,6 +796,9 @@ def render_frame_jit(
     )
 
 
+_PIPELINE_JIT_FNS.append(render_frame_jit)
+
+
 def make_frame_fn(pipeline, config, backend="auto"):
     """Returns fn(geom, textures, light_direction, look_from, look_at, up)."""
     if backend == "auto":
@@ -817,6 +847,9 @@ def render_burst(
     if keep_frames:
         result["frames"] = ys[1]
     return result
+
+
+_PIPELINE_JIT_FNS.append(render_burst)
 
 
 def make_burst_fn(pipeline, config, backend="auto", keep_frames=False):
