@@ -115,6 +115,16 @@ def main():
         ("shadow s16     ", RenderConfig(shadow_tile=16), "shadow", 0),
         ("shadow t16+s16 ", RenderConfig(tex_tile=16, shadow_tile=16),
          "shadow", 16),
+        # Span-grid shrink (see BASELINE.md round-3 span study): worst real
+        # spans at 800x800 over the FULL orbit parameterization are 4x2
+        # tiles (exhaustive 720-angle sweep, both passes, both assets), so
+        # 5x3 keeps a tile of margin and 4x2 is the measured floor.  The
+        # fitted binning law (1.82 ns x sort elements, 32 per triangle at
+        # the 8x4 default) predicts -0.31 ms (5x3) / -0.44 ms (4x2).
+        ("shadow sp53    ", RenderConfig(max_span_y=5, max_span_x=3),
+         "shadow", 0),
+        ("shadow sp42    ", RenderConfig(max_span_y=4, max_span_x=2),
+         "shadow", 0),
         ("specular t0    ", RenderConfig(), "specular", 0),
         ("specular t16   ", RenderConfig(tex_tile=16), "specular", 16),
         ("occlusion s0   ", RenderConfig(), "occlusion", 0),

@@ -342,6 +342,42 @@ class TestOverflowFlags:
         _, _, _, overflow = jax.jit(lambda s: bin_triangles(s, cfg))(s)
         assert bool(overflow)
 
+    def test_span_caps_output_invariant_when_not_clamping(self):
+        """Tightening max_span_y/x is a pure sort-grid shrink: as long as no
+        triangle's real span exceeds the caps (overflow False), the frame is
+        bit-identical.  This pins the mechanism behind tightening the span
+        defaults to the workload's exhaustively-measured worst spans
+        (BASELINE.md round-3 span study: 4x2 tiles at 800x800, 5x3 at 1200)."""
+        import dataclasses
+
+        from tiny_renderer_tpu import load_model
+        from tiny_renderer_tpu.pipelines.frame import make_frame_fn
+
+        model = load_model("/root/reference/assets/diablo", verbose=False)
+        m = model.mesh
+        geom = {k: jnp.asarray(getattr(m, k)) for k in
+                ("positions", "tex_coords", "normals", "pos_idx", "tex_idx",
+                 "normal_idx")}
+        tex = {"texture": jnp.asarray(model.texture)}
+        # 160x160, tile 32x128: spans scale with resolution (worst bbox at
+        # 800 is 78x100 px -> ~16x20 px here), so (2, 2) cannot clamp.
+        base = RenderConfig(width=160, height=160, strip_batch=32)
+        tight = dataclasses.replace(base, max_span_y=2, max_span_x=2)
+        la = jnp.zeros(3, jnp.float32)
+        up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+        for ang in (0.37, 1.9, 4.4):
+            cam = jnp.asarray(
+                [np.sin(ang), 0.0, np.cos(ang)], jnp.float32)
+            lig = jnp.asarray(
+                [np.sin(ang - 2.2), 0.0, np.cos(ang - 2.2)], jnp.float32)
+            args = (geom, tex, lig, cam, la, up)
+            for backend in ("jnp", "pallas_interpret"):
+                a = make_frame_fn("shadow", base, backend=backend)(*args)
+                b = make_frame_fn("shadow", tight, backend=backend)(*args)
+                assert not bool(b["overflow"])
+                np.testing.assert_array_equal(
+                    np.asarray(a["frame"]), np.asarray(b["frame"]))
+
     def test_scene_overflow_property(self, head_model=None):
         from tiny_renderer_tpu import Scene, load_model
         model = load_model("/root/reference/assets/african_head", verbose=False)
