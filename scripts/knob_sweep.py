@@ -125,6 +125,14 @@ def main():
          "shadow", 0),
         ("shadow sp42    ", RenderConfig(max_span_y=4, max_span_x=2),
          "shadow", 0),
+        # SL=8: strip coverage waste 7.1% vs SL=16's 14.9% (5-angle CPU
+        # measurement) -> predicted -6.8% shade rows ~ -0.28 ms.
+        ("shadow SL8     ", RenderConfig(strip_len=8), "shadow", 0),
+        # Combined candidate: every open knob at its predicted-best value,
+        # measured in the same process as the singles.
+        ("shadow combo   ", RenderConfig(tex_tile=16, shadow_tile=16,
+                                         max_span_y=4, max_span_x=2,
+                                         strip_len=8), "shadow", 16),
         ("specular t0    ", RenderConfig(), "specular", 0),
         ("specular t16   ", RenderConfig(tex_tile=16), "specular", 16),
         ("occlusion s0   ", RenderConfig(), "occlusion", 0),
