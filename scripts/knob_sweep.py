@@ -80,6 +80,17 @@ def main():
             vals.append((tn - t8) * 1e3 / (n - 8))
         return float(np.median(vals))
 
+    def checksum8(cfg, pipeline, geom, tex):
+        """Frame checksums on a FIXED 8-pose set: every variant of a
+        pipeline must match its baseline variant bit-for-bit (the knobs
+        under sweep are all pure permutations / flagged-clamp grids) —
+        a divergence here means the 'speedup' is rendering wrong."""
+        cam = (0.9 + 0.05 * np.arange(8)).astype(np.float32)
+        lig = (-1.3 + 0.05 * np.arange(8)).astype(np.float32)
+        burst = make_burst_fn(pipeline, cfg, backend="pallas")
+        out = burst(geom, tex, jnp.asarray(cam), jnp.asarray(lig))
+        return np.asarray(out["checksums"]).tolist()
+
     import bench
     h = bench.chip_health()
     # mxu_tflops is None when RTT jitter swamps the marginal (bench.py) —
@@ -148,9 +159,15 @@ def main():
             )
     variants = [(name, cfg, gx, packs[p, t]) for name, cfg, p, t in plan]
     results = {name: [] for name, _, _, _ in variants}
+    golden = {}
     for rep in range(4):
         for name, cfg, g, tx in variants:
             pipe = name.split()[0]
+            if rep == 0:
+                cs = checksum8(cfg, pipe, g, tx)
+                ok = golden.setdefault(pipe, cs) == cs
+                print(f"parity {name} {'OK' if ok else 'MISMATCH <<<<'}",
+                      flush=True)
             ms = measure(cfg, pipeline=pipe, geom=g, tex=tx)
             results[name].append(ms)
             print(f"rep{rep} {name} {ms:7.3f} ms/frame", flush=True)
