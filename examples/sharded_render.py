@@ -8,7 +8,7 @@ mesh axes map onto the ICI fabric; here the script self-bootstraps 8
 virtual CPU devices so it runs anywhere (same technique as the driver's
 dryrun — the XLA flag must be set before the backend initializes).
 
-Run:  python examples/sharded_render.py [asset_dir] [out.png]
+Run:  python examples/sharded_render.py [asset_dir] [out.png] [--replicate-pass1]
 """
 
 from __future__ import annotations
@@ -44,8 +44,12 @@ def main():
         render_frame_sharded,
     )
 
-    asset = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/assets/diablo"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sharded.png"
+    argv = [a for a in sys.argv[1:] if a != "--replicate-pass1"]
+    # --replicate-pass1: full-height per-device light pass instead of the
+    # all_gather'ed shadow map (the ICI-vs-FLOPs knob; output identical).
+    replicate = "--replicate-pass1" in sys.argv[1:]
+    asset = argv[0] if len(argv) > 0 else "/root/reference/assets/diablo"
+    out = argv[1] if len(argv) > 1 else "/tmp/sharded.png"
 
     model = load_model(asset)
     geom = expand_geometry({
@@ -65,7 +69,7 @@ def main():
 
     mesh = make_row_mesh(jax.devices()[:N_DEVICES], batch=1)
     print(f"mesh: {dict(mesh.shape)} over {N_DEVICES} devices")
-    cfg = RenderConfig(width=800, height=800)
+    cfg = RenderConfig(width=800, height=800, replicate_pass1=replicate)
     result = render_frame_sharded(
         geom, tex,
         jnp.asarray([0.35, 0.0, 0.94], jnp.float32),   # light

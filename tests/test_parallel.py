@@ -50,6 +50,36 @@ def test_row_sharded_matches_single_device(head_scene_data, camera, pipeline, ei
     np.testing.assert_array_equal(np.asarray(sharded["z"]), np.asarray(single["z"]))
 
 
+@pytest.mark.parametrize("pipeline,backend",
+                         [("shadow", "jnp"), ("occlusion", "jnp"),
+                          ("shadow", "pallas_interpret")])
+def test_replicate_pass1_bit_identical(head_scene_data, camera, pipeline,
+                                       backend, eight_devices):
+    """replicate_pass1 swaps the shadow map's all_gather for full-height
+    per-device pass-1 raster (ICI vs FLOPs knob) — the output must be
+    bit-identical both to the collective variant and to single-device,
+    and the returned per-shard shadow debug view must reassemble."""
+    size = 96 if backend == "jnp" else 64  # pallas: 8 rows/shard = tile_h
+    cfg = RenderConfig(width=size, height=size, tri_block=32,
+                       **({"tile_h": 8} if backend != "jnp" else {}))
+    import dataclasses
+
+    rep = dataclasses.replace(cfg, replicate_pass1=True)
+    mesh = make_row_mesh(eight_devices, batch=1)
+    gj, tj, *cam = _args(head_scene_data, camera)
+
+    a = render_frame_sharded(gj, tj, *cam, pipeline=pipeline, config=cfg,
+                             mesh=mesh, backend=backend)
+    b = render_frame_sharded(gj, tj, *cam, pipeline=pipeline, config=rep,
+                             mesh=mesh, backend=backend)
+    np.testing.assert_array_equal(np.asarray(a["frame"]), np.asarray(b["frame"]))
+    np.testing.assert_array_equal(np.asarray(a["shadow"]), np.asarray(b["shadow"]))
+    single = make_frame_fn(pipeline, rep, backend=backend)(gj, tj, *cam)
+    np.testing.assert_array_equal(
+        np.asarray(b["frame"]), np.asarray(single["frame"])
+    )
+
+
 def test_batch_sharded_2d_mesh(head_scene_data, camera, eight_devices):
     cfg = RenderConfig(width=64, height=64, tri_block=32)
     mesh = make_row_mesh(eight_devices, batch=2)

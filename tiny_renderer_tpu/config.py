@@ -172,6 +172,15 @@ class RenderConfig:
     # reference scenes (2.5-5k triangles) are far below the crossover.
     shard_triangles: bool = False
 
+    # Row-sharded two-pass rendering: rasterize the light-view depth pass
+    # at FULL height on every device instead of per-shard + all_gather.
+    # Trades the shadow map's ICI collective (H x W x 4 bytes over "rows")
+    # for n x redundant pass-1 raster FLOPs — the right side of the trade
+    # depends on the chip's ICI bandwidth vs raster cost, so it ships as a
+    # measurable knob (bit-identical either way: the full-height raster IS
+    # the single-device pass 1).  Ignored off the sharded paths.
+    replicate_pass1: bool = False
+
     # Tile-swizzle the packed texture plane (and the kernel's texel-index
     # plane) into tex_tile x tex_tile blocks so uv-adjacent texels are
     # contiguous in the gather table.  A pure permutation — output is

@@ -205,7 +205,10 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
     # config.strip_planes the kernel interpolates the varying planes and
     # the slab shade reads them at strip granularity.
     pspec = _planes_spec(pipeline, textures, config, backend) if compact else None
-    if _use_fused_raster(spec, config, backend, setup, pspec, needs_z):
+    # replicate_pass1 needs the full-height light view — incompatible with
+    # the fused per-window two-pass kernel.
+    if (not (spec.two_pass and config.replicate_pass1)
+            and _use_fused_raster(spec, config, backend, setup, pspec, needs_z)):
         shadow_p, idx_p, ovf1, ovf2 = _fused_raster(
             setup1, setup, config, backend,
             local_cfg=dataclasses.replace(config, height=rows_per_shard),
@@ -217,12 +220,29 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
     else:
         if spec.two_pass:
-            shadow_local, _, _, _, ovf1 = _raster_shard(
-                setup1, config, rows_per_shard, y0, backend, spec=(), emit_idx=False
-            )
+            if config.replicate_pass1:
+                # Rasterize the light view at FULL height on every device:
+                # no collective at all, n x redundant pass-1 compute.  The
+                # full-height raster is exactly the single-device pass 1,
+                # so the assembled map is bit-identical to the all_gather.
+                shadow_full, _, _, _, ovf1 = _raster_shard(
+                    setup1, config, config.height, 0, backend, spec=(),
+                    emit_idx=False,
+                )
+                shadow_local = jax.lax.dynamic_slice_in_dim(
+                    shadow_full, y0, rows_per_shard
+                )
+            else:
+                shadow_local, _, _, _, ovf1 = _raster_shard(
+                    setup1, config, rows_per_shard, y0, backend, spec=(),
+                    emit_idx=False,
+                )
+                # The only cross-device dependency: assemble the full
+                # shadow map.
+                shadow_full = jax.lax.all_gather(
+                    shadow_local, "rows"
+                ).reshape(-1, W)
             ovf1 = ovf1 | setup1["coord_overflow"]
-            # The only cross-device dependency: assemble the full shadow map.
-            shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
         else:
             shadow_local = jnp.full((rows_per_shard, W), ml.F32_MIN, jnp.float32)
             shadow_full = None
