@@ -17,18 +17,26 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3) u8 array as a PNG file."""
+def png_bytes(image: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) u8 array as PNG bytes (in-memory sibling of
+    write_png — serving paths hand these straight to a socket)."""
     img = np.asarray(image)
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError(f"expected (H, W, 3) u8, got {img.shape} {img.dtype}")
     h, w = img.shape[:2]
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return b"".join([
+        b"\x89PNG\r\n\x1a\n",
+        _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
+        _chunk(b"IDAT", zlib.compress(raw, 6)),
+        _chunk(b"IEND", b""),
+    ])
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3) u8 array as a PNG file."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
-        f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(_chunk(b"IEND", b""))
+        f.write(png_bytes(image))
 
 
 def downsample_box(image: np.ndarray, n: int) -> np.ndarray:
