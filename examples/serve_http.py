@@ -73,13 +73,14 @@ class FrameService:
         return png_bytes(frame)
 
     def health(self):
-        return {
-            "ok": not self._overflowed,
-            "renders": self._renders,
-            "overflowed": self._overflowed,
-            "pipelines_warm": sorted(self._scenes),
-            "size": [self.config.height, self.config.width],
-        }
+        with self._lock:  # snapshot: handler threads mutate _scenes
+            return {
+                "ok": not self._overflowed,
+                "renders": self._renders,
+                "overflowed": self._overflowed,
+                "pipelines_warm": sorted(self._scenes),
+                "size": [self.config.height, self.config.width],
+            }
 
 
 def make_handler(service):

@@ -81,15 +81,21 @@ def main():
         return float(np.median(vals))
 
     def checksum8(cfg, pipeline, geom, tex):
-        """Frame checksums on a FIXED 8-pose set: every variant of a
-        pipeline must match its baseline variant bit-for-bit (the knobs
-        under sweep are all pure permutations / flagged-clamp grids) —
-        a divergence here means the 'speedup' is rendering wrong."""
+        """SHA-256 of the full frame bytes on a FIXED 8-pose burst: every
+        variant of a pipeline must match its baseline variant bit-for-bit
+        (the knobs under sweep are all pure permutations / flagged-clamp
+        grids) — a divergence means the 'speedup' is rendering wrong.
+        Full frames, not the device-side pixel-sum checksums: a sum is
+        permutation-invariant, exactly the failure mode a broken swizzle
+        would have."""
+        import hashlib
+
         cam = (0.9 + 0.05 * np.arange(8)).astype(np.float32)
         lig = (-1.3 + 0.05 * np.arange(8)).astype(np.float32)
-        burst = make_burst_fn(pipeline, cfg, backend="pallas")
+        burst = make_burst_fn(pipeline, cfg, backend="pallas",
+                              keep_frames=True)
         out = burst(geom, tex, jnp.asarray(cam), jnp.asarray(lig))
-        return np.asarray(out["checksums"]).tolist()
+        return hashlib.sha256(np.asarray(out["frames"]).tobytes()).hexdigest()
 
     import bench
     h = bench.chip_health()
@@ -159,25 +165,35 @@ def main():
             )
     variants = [(name, cfg, gx, packs[p, t]) for name, cfg, p, t in plan]
     results = {name: [] for name, _, _, _ in variants}
-    golden = {}
+    golden, bad = {}, set()
     for rep in range(4):
         for name, cfg, g, tx in variants:
             pipe = name.split()[0]
             if rep == 0:
                 cs = checksum8(cfg, pipe, g, tx)
-                ok = golden.setdefault(pipe, cs) == cs
-                print(f"parity {name} {'OK' if ok else 'MISMATCH <<<<'}",
-                      flush=True)
+                if golden.setdefault(pipe, cs) != cs:
+                    bad.add(name)
+                    print(f"parity {name} MISMATCH — EXCLUDED from timing",
+                          flush=True)
+                else:
+                    print(f"parity {name} OK", flush=True)
+            if name in bad:
+                continue
             ms = measure(cfg, pipeline=pipe, geom=g, tex=tx)
             results[name].append(ms)
             print(f"rep{rep} {name} {ms:7.3f} ms/frame", flush=True)
     print("--- medians over reps ---", flush=True)
     for name, vals in results.items():
+        if name in bad:
+            print(f"{name} EXCLUDED (parity mismatch)", flush=True)
+            continue
         print(
             f"{name} median {np.median(vals):7.3f}  "
             f"min {min(vals):7.3f}  max {max(vals):7.3f}",
             flush=True,
         )
+    if bad:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

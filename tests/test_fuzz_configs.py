@@ -99,10 +99,14 @@ def test_fuzz_random_knobs(seed):
            jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
            jnp.asarray(up))
     if bool(np.asarray(r["overflow"])):
-        # A tight span/incidence draw clamped this scene: coverage drop is
-        # the documented contract — it must be FLAGGED (it was) and
-        # deterministic.  Oracle parity only applies to the unclamped
-        # regime.
+        # Only a TIGHT span draw may clamp these 100-triangle scenes (the
+        # generous default caps never fired before span draws were added)
+        # — overflow under a loose draw is a regression, not the contract.
+        assert cfg.max_span_y == 2 or cfg.max_span_x == 2, \
+            f"spurious overflow under loose caps: {cfg}"
+        # Coverage drop under a tight cap is the documented contract — it
+        # must be FLAGGED (it was) and deterministic.  Oracle parity only
+        # applies to the unclamped regime.
         r2 = fn(jax.tree.map(jnp.asarray, geom),
                 jax.tree.map(jnp.asarray, tex),
                 jnp.asarray(light), jnp.asarray(look_from),

@@ -74,6 +74,9 @@ def test_render_validates_input(server):
 
 def test_healthz_reports_state(server):
     base, service = server
+    # Warm one pipeline ourselves: the assertions below must not depend on
+    # which other tests ran first.
+    assert _get(f"{base}/render?pipeline=phong")[0] == 200
     status, ctype, body = _get(f"{base}/healthz")
     assert status == 200 and ctype == "application/json"
     h = json.loads(body)
