@@ -156,6 +156,13 @@ def main():
         ("occlusion s8   ", RenderConfig(shadow_tile=8), "occlusion", 0),
         ("occlusion s16  ", RenderConfig(shadow_tile=16), "occlusion", 0),
         ("occlusion s32  ", RenderConfig(shadow_tile=32), "occlusion", 0),
+        # Occlusion carries 17 gather rows per fragment, so the SL8 strip-
+        # waste cut (14.9% -> 7.1%) is worth ~7.8% of its ~18.8 ms gather
+        # floor ~ -1.5 ms — the largest single prediction in this sweep.
+        ("occlusion SL8  ", RenderConfig(strip_len=8), "occlusion", 0),
+        ("occlusion combo", RenderConfig(strip_len=8, shadow_tile=16,
+                                         max_span_y=4, max_span_x=2),
+         "occlusion", 0),
     ]
     packs = {}
     for _, _, p, t in plan:
