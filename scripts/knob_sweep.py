@@ -145,6 +145,16 @@ def main():
         # SL=8: strip coverage waste 7.1% vs SL=16's 14.9% (5-angle CPU
         # measurement) -> predicted -6.8% shade rows ~ -0.28 ms.
         ("shadow SL8     ", RenderConfig(strip_len=8), "shadow", 0),
+        # Constant-fragments-per-batch controls: SL8 halves and SL4
+        # quarters the 8192 fragments a strip_batch=512 shade step
+        # processes, confounding waste savings with while_loop iteration
+        # count.  b1024/b2048 hold fragments/step at 8192 so the SL axis
+        # isolates coverage waste (SL4 waste ~3.6% extrapolated from the
+        # 14.9/7.1 halving trend; measure, don't trust the extrapolation).
+        ("shadow SL8b1k  ", RenderConfig(strip_len=8, strip_batch=1024),
+         "shadow", 0),
+        ("shadow SL4b2k  ", RenderConfig(strip_len=4, strip_batch=2048),
+         "shadow", 0),
         # Combined candidate: every open knob at its predicted-best value,
         # measured in the same process as the singles.
         ("shadow combo   ", RenderConfig(tex_tile=16, shadow_tile=16,
@@ -160,6 +170,8 @@ def main():
         # waste cut (14.9% -> 7.1%) is worth ~7.8% of its ~18.8 ms gather
         # floor ~ -1.5 ms — the largest single prediction in this sweep.
         ("occlusion SL8  ", RenderConfig(strip_len=8), "occlusion", 0),
+        ("occlusion SL8b1k", RenderConfig(strip_len=8, strip_batch=1024),
+         "occlusion", 0),
         ("occlusion combo", RenderConfig(strip_len=8, shadow_tile=16,
                                          max_span_y=4, max_span_x=2),
          "occlusion", 0),

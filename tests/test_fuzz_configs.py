@@ -50,7 +50,7 @@ def _random_config(rng, width, height):
     tile_w multiple of 128, idx_int16 needs tile_h % 16 == 0,
     strip_batch * strip_len % 128 == 0)."""
     tile_h = int(rng.choice([8, 16, 32]))
-    strip_len = int(rng.choice([8, 16, 32]))
+    strip_len = int(rng.choice([4, 8, 16, 32]))
     knobs = dict(
         width=width, height=height, tri_block=32,
         tile_h=tile_h,

@@ -32,6 +32,7 @@ COMBOS = [
     ("i16+planes", dict(idx_int16=True, strip_planes=True, tile_h=16)),
     ("fullplane", dict(compact_shade=False)),
     ("sl32", dict(strip_len=32)),
+    ("sl4", dict(strip_len=4)),
     ("t16", dict(tile_h=16)),
     ("swz16", dict(tex_tile=16)),
     ("swz16+planes", dict(tex_tile=16, strip_planes=True)),
