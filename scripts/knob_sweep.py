@@ -149,8 +149,8 @@ def main():
         # quarters the 8192 fragments a strip_batch=512 shade step
         # processes, confounding waste savings with while_loop iteration
         # count.  b1024/b2048 hold fragments/step at 8192 so the SL axis
-        # isolates coverage waste (SL4 waste ~3.6% extrapolated from the
-        # 14.9/7.1 halving trend; measure, don't trust the extrapolation).
+        # isolates coverage waste (scripts/strip_waste.py, 5 angles:
+        # SL16 +15.1% / SL8 +7.4% / SL4 +3.3%).
         ("shadow SL8b1k  ", RenderConfig(strip_len=8, strip_batch=1024),
          "shadow", 0),
         ("shadow SL4b2k  ", RenderConfig(strip_len=4, strip_batch=2048),
