@@ -145,6 +145,7 @@ def test_fuzz_sharded_random_pose(seed, eight_devices):
         width=96, height=96, tri_block=32,
         binning_compact=bool(rng.integers(2)),
         shard_triangles=bool(rng.integers(2)),
+        replicate_pass1=bool(rng.integers(2)),
     )
     args = (
         jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
