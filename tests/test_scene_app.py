@@ -48,6 +48,29 @@ def test_shadow_pipeline_buffers(head_model):
     assert scene.get_shadow_buffer().any()
 
 
+def test_scene_render_sequence_matches_per_frame_renders(head_model):
+    """Scene.render_sequence (the public burst API) must return exactly the
+    frames a per-pose render()/get_frame_buffer() loop produces — same orbit
+    angle mapping (src/app.rs:200-207), same presentation flip, and the
+    Scene's own backend (VERDICT r2 #7: a Scene built with backend="jnp"
+    must not silently burst on another backend)."""
+    cfg = RenderConfig(width=64, height=64, tri_block=32)
+    scene = Scene(head_model, "shadow", cfg, backend="jnp")
+    cam = np.array([0.3, 1.7, 4.0], np.float32)
+    lig = np.array([-0.6, 0.9, 2.2], np.float32)
+    seq = scene.render_sequence(cam, lig)
+    assert seq.shape == (3, 64, 64, 3) and seq.dtype == np.uint8
+    for i, (ca, la) in enumerate(zip(cam, lig)):
+        scene.set_camera(
+            [np.sin(ca), 0.0, np.cos(ca)], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+        )
+        scene.set_light_direction([np.sin(la), 0.0, np.cos(la)])
+        scene.render()
+        np.testing.assert_array_equal(
+            seq[i], scene.get_frame_buffer(), err_msg=f"frame {i} (cam {ca})"
+        )
+
+
 def test_png_roundtrip(tmp_path):
     PIL = pytest.importorskip("PIL.Image")
     img = (np.arange(32 * 16 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(16, 32, 3)
