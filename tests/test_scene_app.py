@@ -103,6 +103,23 @@ def test_app_rejects_bad_pipeline():
         main(["-s", "nope"])
 
 
+def test_app_profile_writes_trace(tmp_path):
+    """--profile wraps the run in jax.profiler.trace (SURVEY.md §5.1) and
+    must leave a trace dump in the given directory."""
+    from tiny_renderer_tpu.app import main
+
+    prof = str(tmp_path / "prof")
+    rc = main([
+        "-p", "/root/reference/assets/african_head", "-s", "default",
+        "--size", "64", "64", "--frames", "1",
+        "--save", str(tmp_path / "f.png"), "--backend", "jnp",
+        "--profile", prof,
+    ])
+    assert rc == 0
+    dumped = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert dumped, "profiler trace directory is empty"
+
+
 def test_app_ignores_unknown_args(tmp_path, capsys):
     """The reference silently ignores unknown argv tokens (main.rs:16-26);
     we ignore them with a stderr warning (divergence #9)."""
