@@ -48,7 +48,7 @@ def _find_assets():
 
 
 def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800,
-                 subdivide=0):
+                 subdivide=0, knobs=()):
     import jax
     import jax.numpy as jnp
 
@@ -66,6 +66,10 @@ def bench_config(asset_root, asset, pipeline, orbit, frames, backend, size=800,
         )
         asset = f"{asset}_x{4 ** subdivide}"
     config = RenderConfig(width=size, height=size)
+    if knobs:
+        from tiny_renderer_tpu.app import apply_knobs
+
+        config = apply_knobs(config, knobs)
     scene = Scene(model, pipeline, config, backend=backend)
 
     gj = scene._geom
@@ -220,6 +224,11 @@ def main():
                     help="skip the persistent XLA compile cache (warm starts "
                          "only shorten compile wall time; measured ms/frame "
                          "is post-warmup and unaffected)")
+    ap.add_argument("--knob", action="append", default=[], metavar="NAME=VALUE",
+                    help="override a RenderConfig field for every config "
+                         "(repeatable; same syntax/validation as the app CLI) "
+                         "— for hardware experiments; applied knobs are "
+                         "echoed in the JSON line")
     args = ap.parse_args()
 
     asset_root = _find_assets()
@@ -288,7 +297,8 @@ def main():
         configs.append(("diablo", "phong", True, 2))
     for asset, pipeline, orbit, subdiv in configs:
         r = bench_config(asset_root, asset, pipeline, orbit, args.frames,
-                         args.backend, args.size, subdivide=subdiv)
+                         args.backend, args.size, subdivide=subdiv,
+                         knobs=args.knob)
         results.append(r)
         print(
             f"# {r['asset']:13s} {r['pipeline']:9s} {r['ms_per_frame']:8.3f} ms/frame "
@@ -315,6 +325,7 @@ def main():
                     else None
                 ),
                 "chip_gather_ns_per_row": round(health["gather_ns_per_row"], 1),
+                **({"knobs": args.knob} if args.knob else {}),
             }
         )
     )

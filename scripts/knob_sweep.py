@@ -202,18 +202,23 @@ def main():
             results[name].append(ms)
             print(f"rep{rep} {name} {ms:7.3f} ms/frame", flush=True)
     print("--- medians over reps ---", flush=True)
+    medians = {}
     for name, vals in results.items():
         if name in bad:
             print(f"{name} EXCLUDED (parity mismatch)", flush=True)
             continue
+        medians[name.strip()] = float(np.median(vals))
         print(
             f"{name} median {np.median(vals):7.3f}  "
             f"min {min(vals):7.3f}  max {max(vals):7.3f}",
             flush=True,
         )
-    if bad:
-        sys.exit(1)
+    # Returned (not just printed) so live_window.py can pick the winning
+    # knob set for its flipped-config confirmation bench in-process.
+    return medians, {n.strip() for n in bad}
 
 
 if __name__ == "__main__":
-    main()
+    _, bad_names = main()
+    if bad_names:
+        sys.exit(1)

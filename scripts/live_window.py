@@ -30,9 +30,9 @@ def _step(name, argv, fn):
           flush=True)
     old = sys.argv
     sys.argv = argv
-    rc = 0
+    rc, ret = 0, None
     try:
-        fn()
+        ret = fn()
     except SystemExit as e:
         rc = int(e.code or 0)
     except Exception as e:  # noqa: BLE001 — keep draining the queue
@@ -45,7 +45,28 @@ def _step(name, argv, fn):
         sys.argv = old
     print(f"[live-window] {name} rc={rc} at {time.strftime('%H:%M:%S')}",
           flush=True)
-    return rc
+    return rc, ret
+
+
+# Sweep-variant label -> the --knob overrides that reproduce it (must
+# mirror scripts/knob_sweep.py's plan).  Used to run the flipped-config
+# confirmation bench inside the SAME live window as the sweep that
+# justified it — the tunnel may be dead again before a second window.
+SHADOW_VARIANT_KNOBS = {
+    "shadow t0": [],
+    "shadow t8": ["tex_tile=8"],
+    "shadow t16": ["tex_tile=16"],
+    "shadow t32": ["tex_tile=32"],
+    "shadow s16": ["shadow_tile=16"],
+    "shadow t16+s16": ["tex_tile=16", "shadow_tile=16"],
+    "shadow sp53": ["max_span_y=5", "max_span_x=3"],
+    "shadow sp42": ["max_span_y=4", "max_span_x=2"],
+    "shadow SL8": ["strip_len=8"],
+    "shadow SL8b1k": ["strip_len=8", "strip_batch=1024"],
+    "shadow SL4b2k": ["strip_len=4", "strip_batch=2048"],
+    "shadow combo": ["tex_tile=16", "shadow_tile=16", "max_span_y=4",
+                     "max_span_x=2", "strip_len=8"],
+}
 
 
 def main():
@@ -66,18 +87,39 @@ def main():
     import tpu_smoke
 
     rcs = {}
-    rcs["sweep"] = _step("knob_sweep", ["knob_sweep.py"], knob_sweep.main)
-    rcs["smoke_head"] = _step(
+    rc, sweep_ret = _step("knob_sweep", ["knob_sweep.py"], knob_sweep.main)
+    medians, bad = sweep_ret if sweep_ret else ({}, set())
+    rcs["sweep"] = rc if rc else (1 if bad else 0)
+    rcs["smoke_head"], _ = _step(
         "tpu_smoke african_head", ["tpu_smoke.py"], tpu_smoke.main
     )
-    rcs["smoke_diablo"] = _step(
+    rcs["smoke_diablo"], _ = _step(
         "tpu_smoke diablo",
         ["tpu_smoke.py", "--asset", "/root/reference/assets/diablo"],
         tpu_smoke.main,
     )
-    rcs["bench"] = _step(
+    rcs["bench"], _ = _step(
         "bench --all", ["bench.py", "--all", "--frames", "64"], bench.main
     )
+    # Flipped-config confirmation: if the sweep measured a parity-clean
+    # shadow variant beating the default config by >0.1 ms, bench the
+    # headline with exactly those knobs — the number that decides the
+    # config.py defaults flip.
+    shadow = {k: v for k, v in medians.items()
+              if k in SHADOW_VARIANT_KNOBS and k not in bad}
+    if shadow.get("shadow t0") is not None:
+        best = min(shadow, key=shadow.get)
+        gain = shadow["shadow t0"] - shadow[best]
+        print(f"[live-window] sweep best: {best} ({shadow[best]:.3f} ms, "
+              f"-{gain:.3f} vs t0)", flush=True)
+        if best != "shadow t0" and gain > 0.1:
+            knobs = SHADOW_VARIANT_KNOBS[best]
+            argv = ["bench.py", "--frames", "64"]
+            for k in knobs:
+                argv += ["--knob", k]
+            rcs["bench_flipped"], _ = _step(
+                f"bench flipped ({' '.join(knobs)})", argv, bench.main
+            )
     print(f"[live-window] done: {rcs}", flush=True)
     sys.exit(max(rcs.values()))
 
