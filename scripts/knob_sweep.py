@@ -22,6 +22,77 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+def build_plan(RenderConfig):
+    """The sweep plan: (label, config, pack pipeline, pack tile).
+
+    Current sweep: tex_tile (tile-swizzled packed texture plane — a pure
+    permutation targeting the shade's gather-locality gap: diablo's
+    effective cost was fitted at 9.9 ns/row vs the microprobe's 7.3,
+    the difference being index scatter), shadow_tile, the span-grid
+    shrink, and the strip_len axis with constant-fragments controls.
+    Texture-sampling pipelines only for tex_tile (z-plane gathers are
+    unaffected).  Packs are built lazily from the (pipeline, tile) pairs
+    so only planes a variant uses get packed and uploaded (multi-MB —
+    transfer is the tunnel bottleneck).  Occlusion samples no texture
+    maps (its "pack" is the raw dict), and shadow_tile — the knob under
+    test there — swizzles the in-frame shadow-map copy, not a prepacked
+    plane.  Earlier sweeps' variant lists live in git history.
+    Module-level so tests can pin the label->knobs mirror in
+    scripts/live_window.py against the configs here."""
+    return [
+        ("shadow t0      ", RenderConfig(), "shadow", 0),
+        ("shadow t8      ", RenderConfig(tex_tile=8), "shadow", 8),
+        ("shadow t16     ", RenderConfig(tex_tile=16), "shadow", 16),
+        ("shadow t32     ", RenderConfig(tex_tile=32), "shadow", 32),
+        ("shadow s16     ", RenderConfig(shadow_tile=16), "shadow", 0),
+        ("shadow t16+s16 ", RenderConfig(tex_tile=16, shadow_tile=16),
+         "shadow", 16),
+        # Span-grid shrink (see BASELINE.md round-3 span study): worst real
+        # spans at 800x800 over the FULL orbit parameterization are 4x2
+        # tiles (exhaustive 720-angle sweep, both passes, both assets), so
+        # 5x3 keeps a tile of margin and 4x2 is the measured floor.  The
+        # fitted binning law (1.82 ns x sort elements, 32 per triangle at
+        # the 8x4 default) predicts -0.31 ms (5x3) / -0.44 ms (4x2).
+        ("shadow sp53    ", RenderConfig(max_span_y=5, max_span_x=3),
+         "shadow", 0),
+        ("shadow sp42    ", RenderConfig(max_span_y=4, max_span_x=2),
+         "shadow", 0),
+        # SL=8: strip coverage waste 7.1% vs SL=16's 14.9% (5-angle CPU
+        # measurement) -> predicted -6.8% shade rows ~ -0.28 ms.
+        ("shadow SL8     ", RenderConfig(strip_len=8), "shadow", 0),
+        # Constant-fragments-per-batch controls: SL8 halves and SL4
+        # quarters the 8192 fragments a strip_batch=512 shade step
+        # processes, confounding waste savings with while_loop iteration
+        # count.  b1024/b2048 hold fragments/step at 8192 so the SL axis
+        # isolates coverage waste (scripts/strip_waste.py, 5 angles:
+        # SL16 +15.1% / SL8 +7.4% / SL4 +3.3%).
+        ("shadow SL8b1k  ", RenderConfig(strip_len=8, strip_batch=1024),
+         "shadow", 0),
+        ("shadow SL4b2k  ", RenderConfig(strip_len=4, strip_batch=2048),
+         "shadow", 0),
+        # Combined candidate: every open knob at its predicted-best value,
+        # measured in the same process as the singles.
+        ("shadow combo   ", RenderConfig(tex_tile=16, shadow_tile=16,
+                                         max_span_y=4, max_span_x=2,
+                                         strip_len=8), "shadow", 16),
+        ("specular t0    ", RenderConfig(), "specular", 0),
+        ("specular t16   ", RenderConfig(tex_tile=16), "specular", 16),
+        ("occlusion s0   ", RenderConfig(), "occlusion", 0),
+        ("occlusion s8   ", RenderConfig(shadow_tile=8), "occlusion", 0),
+        ("occlusion s16  ", RenderConfig(shadow_tile=16), "occlusion", 0),
+        ("occlusion s32  ", RenderConfig(shadow_tile=32), "occlusion", 0),
+        # Occlusion carries 17 gather rows per fragment, so the SL8 strip-
+        # waste cut (14.9% -> 7.1%) is worth ~7.8% of its ~18.8 ms gather
+        # floor ~ -1.5 ms — the largest single prediction in this sweep.
+        ("occlusion SL8  ", RenderConfig(strip_len=8), "occlusion", 0),
+        ("occlusion SL8b1k", RenderConfig(strip_len=8, strip_batch=1024),
+         "occlusion", 0),
+        ("occlusion combo", RenderConfig(strip_len=8, shadow_tile=16,
+                                         max_span_y=4, max_span_x=2),
+         "occlusion", 0),
+    ]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -107,75 +178,10 @@ def main():
         f"chip health: {mxu_s}, {h['gather_ns_per_row']:.1f} ns/row",
         flush=True,
     )
-    # Current sweep: tex_tile (tile-swizzled packed texture plane — a pure
-    # permutation targeting the shade's gather-locality gap: diablo's
-    # effective cost was fitted at 9.9 ns/row vs the microprobe's 7.3,
-    # the difference being index scatter).  Texture-sampling pipelines
-    # only (the z-plane gathers are unaffected).  Per-variant prepack so
-    # the in-frame repack path never runs.  Earlier sweeps' variant lists
-    # live in git history.  Interleaved within one process (the chip
-    # drifts across runs — same-state A/B only).
     from tiny_renderer_tpu.ops.vertex import expand_geometry
 
     gx = expand_geometry(gj)
-    # (label, config, pack pipeline, pack tile); packs are built lazily so
-    # only the (pipeline, tile) pairs a variant actually uses get packed
-    # and uploaded (multi-MB planes — transfer is the tunnel bottleneck).
-    # Occlusion samples no texture maps (its "pack" is the raw dict), and
-    # shadow_tile — the knob under test there — swizzles the in-frame
-    # shadow-map copy, not a prepacked plane.
-    plan = [
-        ("shadow t0      ", RenderConfig(), "shadow", 0),
-        ("shadow t8      ", RenderConfig(tex_tile=8), "shadow", 8),
-        ("shadow t16     ", RenderConfig(tex_tile=16), "shadow", 16),
-        ("shadow t32     ", RenderConfig(tex_tile=32), "shadow", 32),
-        ("shadow s16     ", RenderConfig(shadow_tile=16), "shadow", 0),
-        ("shadow t16+s16 ", RenderConfig(tex_tile=16, shadow_tile=16),
-         "shadow", 16),
-        # Span-grid shrink (see BASELINE.md round-3 span study): worst real
-        # spans at 800x800 over the FULL orbit parameterization are 4x2
-        # tiles (exhaustive 720-angle sweep, both passes, both assets), so
-        # 5x3 keeps a tile of margin and 4x2 is the measured floor.  The
-        # fitted binning law (1.82 ns x sort elements, 32 per triangle at
-        # the 8x4 default) predicts -0.31 ms (5x3) / -0.44 ms (4x2).
-        ("shadow sp53    ", RenderConfig(max_span_y=5, max_span_x=3),
-         "shadow", 0),
-        ("shadow sp42    ", RenderConfig(max_span_y=4, max_span_x=2),
-         "shadow", 0),
-        # SL=8: strip coverage waste 7.1% vs SL=16's 14.9% (5-angle CPU
-        # measurement) -> predicted -6.8% shade rows ~ -0.28 ms.
-        ("shadow SL8     ", RenderConfig(strip_len=8), "shadow", 0),
-        # Constant-fragments-per-batch controls: SL8 halves and SL4
-        # quarters the 8192 fragments a strip_batch=512 shade step
-        # processes, confounding waste savings with while_loop iteration
-        # count.  b1024/b2048 hold fragments/step at 8192 so the SL axis
-        # isolates coverage waste (scripts/strip_waste.py, 5 angles:
-        # SL16 +15.1% / SL8 +7.4% / SL4 +3.3%).
-        ("shadow SL8b1k  ", RenderConfig(strip_len=8, strip_batch=1024),
-         "shadow", 0),
-        ("shadow SL4b2k  ", RenderConfig(strip_len=4, strip_batch=2048),
-         "shadow", 0),
-        # Combined candidate: every open knob at its predicted-best value,
-        # measured in the same process as the singles.
-        ("shadow combo   ", RenderConfig(tex_tile=16, shadow_tile=16,
-                                         max_span_y=4, max_span_x=2,
-                                         strip_len=8), "shadow", 16),
-        ("specular t0    ", RenderConfig(), "specular", 0),
-        ("specular t16   ", RenderConfig(tex_tile=16), "specular", 16),
-        ("occlusion s0   ", RenderConfig(), "occlusion", 0),
-        ("occlusion s8   ", RenderConfig(shadow_tile=8), "occlusion", 0),
-        ("occlusion s16  ", RenderConfig(shadow_tile=16), "occlusion", 0),
-        ("occlusion s32  ", RenderConfig(shadow_tile=32), "occlusion", 0),
-        # Occlusion carries 17 gather rows per fragment, so the SL8 strip-
-        # waste cut (14.9% -> 7.1%) is worth ~7.8% of its ~18.8 ms gather
-        # floor ~ -1.5 ms — the largest single prediction in this sweep.
-        ("occlusion SL8  ", RenderConfig(strip_len=8), "occlusion", 0),
-        ("occlusion SL8b1k", RenderConfig(strip_len=8, strip_batch=1024),
-         "occlusion", 0),
-        ("occlusion combo", RenderConfig(strip_len=8, shadow_tile=16,
-                                         max_span_y=4, max_span_x=2),
-         "occlusion", 0),
-    ]
+    plan = build_plan(RenderConfig)
     packs = {}
     for _, _, p, t in plan:
         if (p, t) not in packs:

@@ -46,3 +46,31 @@ def test_bench_headline_json_keys():
     back = json.loads(s)
     assert back["value"] == 5.0 and back["vs_baseline"] == 0.4
     assert back["chip_mxu_tflops"] is None
+
+
+def _load_script(name):
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts", name)
+    spec = importlib.util.spec_from_file_location(name[:-3], path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_live_window_knobs_mirror_sweep_plan():
+    """live_window.SHADOW_VARIANT_KNOBS must reproduce knob_sweep's shadow
+    variant configs exactly — the flipped-config confirmation bench runs
+    with the knobs, not the sweep's RenderConfig objects, so a drift
+    between the two files would bench a config the sweep never measured."""
+    from tiny_renderer_tpu import RenderConfig
+    from tiny_renderer_tpu.app import apply_knobs
+
+    ks = _load_script("knob_sweep.py")
+    lw = _load_script("live_window.py")
+    shadow = [(name.strip(), cfg)
+              for name, cfg, _, _ in ks.build_plan(RenderConfig)
+              if name.startswith("shadow")]
+    assert {n for n, _ in shadow} == set(lw.SHADOW_VARIANT_KNOBS)
+    for name, cfg in shadow:
+        assert apply_knobs(RenderConfig(), lw.SHADOW_VARIANT_KNOBS[name]) == cfg, name
