@@ -298,7 +298,10 @@ def test_compact_shade_matches_planes(head_scene_data, camera, pipeline):
     # Tiny compaction batches force the full lax.cond cascade; same graph
     # as the default compact config except batch count -> same budget.
     cfg_small = RenderConfig(
-        width=96, height=96, tile_h=8, tri_block=32, strip_batch=8
+        # strip_len pinned: strip_batch * strip_len must stay a multiple of
+        # 128 regardless of the shipping strip_len default.
+        width=96, height=96, tile_h=8, tri_block=32, strip_batch=8,
+        strip_len=16,
     )
     small = make_frame_fn(pipeline, cfg_small, backend="pallas_interpret")(*args)
     assert mismatch(small, planes) <= 0.003

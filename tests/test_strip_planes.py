@@ -54,7 +54,9 @@ def test_planes_spec_gating(scene):
     assert _planes_spec("shadow", tex, CFG_PLANES, "jnp") is None
     assert _planes_spec("shadow", tex, CFG, "pallas") is None  # knob off
     kspec = _planes_spec("shadow", tex, CFG_PLANES, "pallas")
-    assert kspec == kernel_varying_spec("shadow", tex)
+    # tile passed through explicitly: the spec key embeds the config's
+    # tex_tile, whatever the shipping default is.
+    assert kspec == kernel_varying_spec("shadow", tex, tile=CFG_PLANES.tex_tile)
     assert sum(c for (_, c, _) in kspec) == 3  # texidx + intensity + zfrag
     # occlusion has no maps: the spec passes through unchanged.
     assert _planes_spec("occlusion", tex, CFG_PLANES, "pallas") == VARYING_SPECS[
