@@ -8,6 +8,10 @@ on-hardware queue in ONE process — one init, one wedge risk:
     1. knob sweep             (scripts/knob_sweep.py — the open experiment)
     2. parity smoke x2 assets (scripts/tpu_smoke.py — re-certification)
     3. official bench         (bench.py --all)
+    4. flipped-config bench   (headline with the sweep's winning knobs,
+                               only when a parity-clean variant beat the
+                               default by >0.1 ms — the defaults-flip
+                               confirmation number)
 
 Each step's outcome is printed as a `[live-window] <step> rc=<n>` line;
 a failing step never blocks the next (the certification matters even if
