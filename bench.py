@@ -231,6 +231,15 @@ def main():
                          "echoed in the JSON line")
     args = ap.parse_args()
 
+    if args.knob:
+        # Validate knob names/values NOW, before any device op: a typo'd
+        # --knob must not burn a live tunnel window on init + health
+        # probes before crashing.  apply_knobs is pure CPU.
+        from tiny_renderer_tpu.app import apply_knobs
+        from tiny_renderer_tpu.config import RenderConfig
+
+        apply_knobs(RenderConfig(), args.knob)
+
     asset_root = _find_assets()
 
     # Liveness sentinel: over the axon dev tunnel a fresh process's first

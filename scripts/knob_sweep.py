@@ -57,8 +57,9 @@ def build_plan(RenderConfig):
          "shadow", 0),
         ("shadow sp42    ", RenderConfig(max_span_y=4, max_span_x=2),
          "shadow", 0),
-        # SL=8: strip coverage waste 7.1% vs SL=16's 14.9% (5-angle CPU
-        # measurement) -> predicted -6.8% shade rows ~ -0.28 ms.
+        # SL=8: strip coverage waste 7.4% vs SL=16's 15.1% (5-angle CPU
+        # measurement, scripts/strip_waste.py) -> predicted -6.7% shade
+        # rows ~ -0.28 ms.
         ("shadow SL8     ", RenderConfig(strip_len=8), "shadow", 0),
         # Constant-fragments-per-batch controls: SL8 halves and SL4
         # quarters the 8192 fragments a strip_batch=512 shade step
@@ -82,7 +83,7 @@ def build_plan(RenderConfig):
         ("occlusion s16  ", RenderConfig(shadow_tile=16), "occlusion", 0),
         ("occlusion s32  ", RenderConfig(shadow_tile=32), "occlusion", 0),
         # Occlusion carries 17 gather rows per fragment, so the SL8 strip-
-        # waste cut (14.9% -> 7.1%) is worth ~7.8% of its ~18.8 ms gather
+        # waste cut (15.1% -> 7.4%) is worth ~7.8% of its ~18.8 ms gather
         # floor ~ -1.5 ms — the largest single prediction in this sweep.
         ("occlusion SL8  ", RenderConfig(strip_len=8), "occlusion", 0),
         ("occlusion SL8b1k", RenderConfig(strip_len=8, strip_batch=1024),

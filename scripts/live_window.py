@@ -38,7 +38,8 @@ def _step(name, argv, fn):
     try:
         ret = fn()
     except SystemExit as e:
-        rc = int(e.code or 0)
+        # e.code may be None (success), an int, or a message string.
+        rc = e.code if isinstance(e.code, int) else (0 if e.code is None else 1)
     except Exception as e:  # noqa: BLE001 — keep draining the queue
         import traceback
 
