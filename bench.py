@@ -31,6 +31,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TARGET_MS = 2.0  # >500 FPS north star (BASELINE.json)
 
+# Cache of the most recent successful official-config headline; the init
+# watchdog attaches it to the failure JSON on a dead tunnel so a failed
+# round-end bench still carries the last certified measurement.
+_LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json"
+)
+
+
+def watchdog_failure_payload(path=None):
+    """The JSON emitted when the TPU init watchdog fires: a dead tunnel
+    should not erase the record, so the most recent successful
+    official-config measurement (cached after every clean run) rides
+    along as `last_good`."""
+    last_good = None
+    try:
+        with open(path or _LAST_GOOD_PATH) as f:
+            last_good = json.load(f)
+    except (OSError, ValueError):
+        pass
+    return {
+        "metric": "ms/frame diablo 800x800 phong+shadow",
+        "value": None, "unit": "ms", "vs_baseline": None,
+        "error": "TPU init watchdog: no device op within 900s "
+                 "(dead axon tunnel; see CLAUDE.md)",
+        **({"last_good": last_good} if last_good else {}),
+    }
+
 CONFIGS = [
     ("african_head", "default", False),
     ("diablo", "phong", False),
@@ -268,15 +295,7 @@ def main():
     def _watchdog():
         if _live.wait(900):
             return
-        print(
-            json.dumps({
-                "metric": "ms/frame diablo 800x800 phong+shadow",
-                "value": None, "unit": "ms", "vs_baseline": None,
-                "error": "TPU init watchdog: no device op within 900s "
-                         "(dead axon tunnel; see CLAUDE.md)",
-            }),
-            flush=True,
-        )
+        print(json.dumps(watchdog_failure_payload()), flush=True)
         os._exit(3)
 
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -321,23 +340,32 @@ def main():
         (r for r in results if r["asset"] == "diablo" and r["pipeline"] == "shadow"),
         results[-1],
     )
-    print(
-        json.dumps(
-            {
-                "metric": "ms/frame diablo 800x800 phong+shadow",
-                "value": round(headline["ms_per_frame"], 4),
-                "unit": "ms",
-                "vs_baseline": round(TARGET_MS / headline["ms_per_frame"], 4),
-                "chip_mxu_tflops": (
-                    round(health["mxu_tflops"], 1)
-                    if health["mxu_tflops"] is not None
-                    else None
-                ),
-                "chip_gather_ns_per_row": round(health["gather_ns_per_row"], 1),
-                **({"knobs": args.knob} if args.knob else {}),
-            }
-        )
-    )
+    payload = {
+        "metric": "ms/frame diablo 800x800 phong+shadow",
+        "value": round(headline["ms_per_frame"], 4),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / headline["ms_per_frame"], 4),
+        "chip_mxu_tflops": (
+            round(health["mxu_tflops"], 1)
+            if health["mxu_tflops"] is not None
+            else None
+        ),
+        "chip_gather_ns_per_row": round(health["gather_ns_per_row"], 1),
+        **({"knobs": args.knob} if args.knob else {}),
+    }
+    print(json.dumps(payload))
+    if (not args.knob and args.size == 800
+            and health["gather_ns_per_row"] <= 8.5):
+        # Cache the official-config measurement for the watchdog's
+        # last_good record (best effort — a read-only tree is fine).
+        # Gated on a healthy gather probe so a degraded-phase run (the
+        # ~27x-slower chip state) never replaces a certified number.
+        try:
+            with open(_LAST_GOOD_PATH, "w") as f:
+                json.dump({**payload, "measured_at": time.strftime(
+                    "%Y-%m-%d %H:%M:%S UTC", time.gmtime())}, f)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

@@ -74,3 +74,41 @@ def test_live_window_knobs_mirror_sweep_plan():
     assert {n for n, _ in shadow} == set(lw.SHADOW_VARIANT_KNOBS)
     for name, cfg in shadow:
         assert apply_knobs(RenderConfig(), lw.SHADOW_VARIANT_KNOBS[name]) == cfg, name
+
+
+def test_watchdog_failure_payload_carries_last_good(tmp_path):
+    """A dead-tunnel bench failure must still surface the last certified
+    official measurement (bench caches it after every clean run)."""
+    import json
+
+    import bench
+
+    # No cache file: a plain failure payload with value None.
+    missing = bench.watchdog_failure_payload(str(tmp_path / "absent.json"))
+    assert missing["value"] is None and "last_good" not in missing
+    assert "watchdog" in missing["error"]
+
+    good = {"metric": "ms/frame diablo 800x800 phong+shadow",
+            "value": 4.91, "vs_baseline": 0.4073}
+    p = tmp_path / "last_good.json"
+    p.write_text(json.dumps(good))
+    payload = bench.watchdog_failure_payload(str(p))
+    assert payload["value"] is None
+    assert payload["last_good"]["value"] == 4.91
+    # Corrupt cache: degrade to the plain failure payload, never raise.
+    p.write_text("{not json")
+    assert "last_good" not in bench.watchdog_failure_payload(str(p))
+
+
+def test_bench_rejects_bad_knob_before_device_init(monkeypatch, capsys):
+    """--knob typos must fail during argument validation, before any
+    device op can burn a live tunnel window."""
+    import pytest
+
+    import bench
+
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--knob", "tex_tle=16"])
+    # _find_assets and the jax import come AFTER validation; a bad knob
+    # must raise first (ValueError from apply_knobs).
+    with pytest.raises(ValueError, match="tex_tle"):
+        bench.main()
