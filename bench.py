@@ -353,6 +353,14 @@ def main():
         "chip_gather_ns_per_row": round(health["gather_ns_per_row"], 1),
         **({"knobs": args.knob} if args.knob else {}),
     }
+    if health["gather_ns_per_row"] > 8.5:
+        # Degraded chip phase (the bimodal ~27x-slower state): attach the
+        # last healthy-phase measurement so the number is self-interpreting.
+        try:
+            with open(_LAST_GOOD_PATH) as f:
+                payload["last_good"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     print(json.dumps(payload))
     if (not args.knob and args.size == 800
             and health["gather_ns_per_row"] <= 8.5):
