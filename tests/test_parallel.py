@@ -354,3 +354,144 @@ def test_batch_sharded_pallas_backend(head_scene_data, camera, eight_devices):
     for b in range(B):
         single = fn(gj, tj, jnp.asarray(lights[b]), jnp.asarray(froms[b]), look_at, up)
         np.testing.assert_array_equal(frames[b], np.asarray(single["frame"]))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism over the two passes: ("stage", "rows") mesh where
+# stage 0 rasterizes the light view of frame t while stage 1 shades frame
+# t-1 with the shadow map handed over via ppermute (render_sequence_pipelined).
+
+
+@pytest.mark.parametrize("pipeline", ["shadow", "occlusion"])
+def test_pipelined_sequence_matches_single_device(head_scene_data, camera,
+                                                  pipeline, eight_devices):
+    """Every frame of the pipelined sequence must be bit-identical to the
+    single-device render — the stage split and the ppermute handoff are
+    pure data movement."""
+    from tiny_renderer_tpu.parallel import make_pp_mesh, render_sequence_pipelined
+
+    cfg = RenderConfig(width=96, height=96, tri_block=32)
+    mesh = make_pp_mesh(eight_devices)
+    gj, tj, light, look_from, look_at, up = _args(head_scene_data, camera)
+    B = 3
+    angles = np.linspace(0.0, 1.2, B, dtype=np.float32)
+    lights = jnp.asarray(np.stack(
+        [[np.sin(a), 0.0, np.cos(a)] for a in angles], dtype=np.float32))
+    froms = jnp.asarray(np.stack(
+        [[np.sin(a + 0.2), 0.0, np.cos(a + 0.2)] for a in angles],
+        dtype=np.float32))
+
+    out = render_sequence_pipelined(
+        gj, tj, lights, froms, look_at, up, pipeline=pipeline, config=cfg,
+        mesh=mesh, backend="jnp",
+    )
+    assert out["frame"].shape == (B, 96, 96, 3)
+    assert not np.any(np.asarray(out["overflow"]))
+    single = make_frame_fn(pipeline, cfg, backend="jnp")
+    for i in range(B):
+        ref = single(gj, tj, lights[i], froms[i], look_at, up)
+        np.testing.assert_array_equal(
+            np.asarray(out["frame"][i]), np.asarray(ref["frame"]),
+            err_msg=f"frame {i}",
+        )
+
+
+def test_pipelined_sequence_pallas_kernel(head_scene_data, camera, eight_devices):
+    """The real Pallas raster kernel (interpret mode) + strip shade inside
+    the pipelined scan's cond branches must stay bit-identical to the
+    single-device kernel path."""
+    from tiny_renderer_tpu.parallel import make_pp_mesh, render_sequence_pipelined
+
+    cfg = RenderConfig(width=128, height=64, tri_block=32, tile_h=8)
+    mesh = make_pp_mesh(eight_devices)
+    gj, tj, light, look_from, look_at, up = _args(head_scene_data, camera)
+    B = 2
+    angles = np.linspace(0.0, 0.8, B, dtype=np.float32)
+    lights = jnp.asarray(np.stack(
+        [[np.sin(a), 0.0, np.cos(a)] for a in angles], dtype=np.float32))
+    froms = jnp.asarray(np.stack(
+        [[np.sin(a + 0.2), 0.0, np.cos(a + 0.2)] for a in angles],
+        dtype=np.float32))
+
+    out = render_sequence_pipelined(
+        gj, tj, lights, froms, look_at, up, pipeline="shadow", config=cfg,
+        mesh=mesh, backend="pallas_interpret",
+    )
+    single = make_frame_fn("shadow", cfg, backend="pallas_interpret")
+    for i in range(B):
+        ref = single(gj, tj, lights[i], froms[i], look_at, up)
+        np.testing.assert_array_equal(
+            np.asarray(out["frame"][i]), np.asarray(ref["frame"]),
+            err_msg=f"frame {i}",
+        )
+
+
+def test_pipelined_rejects_invalid_configs(head_scene_data, camera, eight_devices):
+    """Single-pass pipelines and the pass-1 strategies that contradict the
+    stage split must be rejected loudly, and the mesh shape is validated."""
+    import dataclasses
+
+    from tiny_renderer_tpu.parallel import make_pp_mesh, render_sequence_pipelined
+
+    cfg = RenderConfig(width=64, height=64, tri_block=32)
+    mesh = make_pp_mesh(eight_devices)
+    gj, tj, light, look_from, look_at, up = _args(head_scene_data, camera)
+    lights = jnp.stack([light, light])
+    froms = jnp.stack([look_from, look_from])
+    args = (gj, tj, lights, froms, look_at, up)
+
+    with pytest.raises(ValueError, match="single-pass"):
+        render_sequence_pipelined(*args, pipeline="phong", config=cfg, mesh=mesh)
+    with pytest.raises(ValueError, match="pass-1"):
+        render_sequence_pipelined(
+            *args, pipeline="shadow",
+            config=dataclasses.replace(cfg, shard_triangles=True), mesh=mesh)
+    with pytest.raises(ValueError, match="pass-1"):
+        render_sequence_pipelined(
+            *args, pipeline="shadow",
+            config=dataclasses.replace(cfg, replicate_pass1=True), mesh=mesh)
+    with pytest.raises(ValueError, match="stage"):
+        render_sequence_pipelined(
+            *args, pipeline="shadow", config=cfg,
+            mesh=make_row_mesh(eight_devices, batch=1))
+
+
+def test_pipelined_overflow_contract(camera, eight_devices):
+    """A scene that trips the int32 exactness envelope must surface
+    overflow=True on every frame of the pipelined sequence — the flag
+    rides the same ppermute handoff as the shadow map."""
+    from tiny_renderer_tpu.parallel import make_pp_mesh, render_sequence_pipelined
+
+    cfg = RenderConfig(width=64, height=64, tri_block=32)
+    mesh = make_pp_mesh(eight_devices)
+    positions = np.array(
+        [
+            [-0.3, -0.3, 0.0], [0.3, -0.3, 0.0], [0.0, 0.3, 0.0],
+            # vertex near the projection singularity (w ~ 0): coords ~ 2^18
+            [-0.2, -0.2, 0.0], [0.2, -0.2, 0.0], [0.3, 0.2, 5.9999],
+        ],
+        np.float32,
+    )
+    idx = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    geom = {
+        "positions": positions,
+        "tex_coords": np.full((6, 2), 0.5, np.float32),
+        "normals": np.tile(np.array([[0, 0, 1]], np.float32), (6, 1)),
+        "pos_idx": idx, "tex_idx": idx, "normal_idx": idx,
+    }
+    tex = {k: np.zeros((16, 16, 3), np.uint8)
+           for k in ("texture", "normal_map", "normal_map_tangent",
+                     "specular_map")}
+    gj, tj, light, look_from, look_at, up = _args((geom, tex), camera)
+    fwd = jnp.asarray(np.array([0, 0, 1], np.float32))
+    lights = jnp.stack([fwd, fwd])
+    froms = jnp.stack([fwd, fwd])
+
+    out = render_sequence_pipelined(
+        gj, tj, lights, froms, look_at, up, pipeline="shadow", config=cfg,
+        mesh=mesh, backend="jnp",
+    )
+    single = make_frame_fn("shadow", cfg, backend="jnp")(
+        gj, tj, fwd, fwd, look_at, up)
+    assert bool(np.asarray(single["overflow"]))
+    assert np.all(np.asarray(out["overflow"]))

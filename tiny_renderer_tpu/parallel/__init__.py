@@ -1,3 +1,15 @@
-from .sharding import make_row_mesh, render_frame_sharded, render_batch_sharded
+from .sharding import (
+    make_pp_mesh,
+    make_row_mesh,
+    render_batch_sharded,
+    render_frame_sharded,
+    render_sequence_pipelined,
+)
 
-__all__ = ["make_row_mesh", "render_frame_sharded", "render_batch_sharded"]
+__all__ = [
+    "make_pp_mesh",
+    "make_row_mesh",
+    "render_batch_sharded",
+    "render_frame_sharded",
+    "render_sequence_pipelined",
+]

@@ -160,6 +160,68 @@ def _tri_sharded_setup(geom, uniforms, config, n_rows, *, matrix_key="vpmv",
     return setup
 
 
+def _assemble_shade(setup, idx, pipeline, uniforms, textures, config,
+                    shadow_full, y0, rows_per_shard, compact, kspec,
+                    varys=None, strips=None):
+    """Texture pack + shadow relayout + shade of one rasterized row slab —
+    the tail every sharded path shares (identical to frame.render_frame's
+    shade assembly, slab-local scatter targets, global pixel coords)."""
+    spec = PIPELINES[pipeline]
+    vspec = VARYING_SPECS[pipeline]
+    if _needs_pack(textures, pipeline, config.tex_tile):
+        textures = shaders.pack_textures(
+            textures, _pipeline_maps()[pipeline], jnp, tile=config.tex_tile
+        )
+    if spec.two_pass:
+        shadow_full = _shadow_for_shade(shadow_full, spec, config)
+    if compact:
+        return _shade_strips(
+            setup, idx, pipeline, uniforms, textures, config,
+            shadow_full if spec.two_pass else None, y_offset=y0,
+            strip_mask=strips, planes=varys, planes_spec=kspec,
+        )
+    if varys is None:
+        frag = _shade_jnp_path(setup, idx, pipeline, config, y_offset=y0)
+    else:
+        frag = _fragments_from_planes(
+            kspec, varys, rows_per_shard, config.width, y_offset=y0
+        )
+        _add_const_gather(frag, kspec, vspec, setup, idx)
+    if spec.two_pass:
+        frag["shadow_buffer"] = shadow_full
+    colors = spec.shade(frag, uniforms, textures, config, jnp)
+    covered = (idx >= 0)[..., None]
+    return jnp.where(covered, colors, jnp.uint8(0))
+
+
+def _camera_pass_and_shade(setup, uniforms, pipeline, textures, config,
+                           backend, rows_per_shard, y0, shadow_full, needs_z):
+    """Camera-pass raster + shade of one row slab given the ASSEMBLED full
+    shadow map (None for single-pass pipelines) — the slab analog of
+    frame.render_frame's camera stage, shared by the row-sharded and
+    pipeline-parallel paths.  Returns (frame, z, overflow)."""
+    spec = PIPELINES[pipeline]
+    compact = backend != "jnp" and config.compact_shade
+    if compact:
+        kspec = _planes_spec(pipeline, textures, config, backend) or ()
+    else:
+        kspec = (
+            kernel_varying_spec(pipeline, textures, tile=config.tex_tile)
+            if backend != "jnp"
+            else VARYING_SPECS[pipeline]
+        )
+    z, idx, varys, strips, ovf = _raster_shard(
+        setup, config, rows_per_shard, y0, backend, spec=kspec, emit_z=needs_z,
+        emit_strips=_strip_mask_len(config) if compact else 0,
+    )
+    ovf = ovf | setup["coord_overflow"]
+    frame = _assemble_shade(
+        setup, idx, pipeline, uniforms, textures, config, shadow_full, y0,
+        rows_per_shard, compact, kspec, varys=varys, strips=strips,
+    )
+    return frame, z, ovf
+
+
 def _render_shard(geom, textures, light_direction, look_from, look_at, up,
                   *, pipeline, config, rows_per_shard, backend="jnp",
                   needs_z=True, n_rows=1):
@@ -197,7 +259,6 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         ovf1 = jnp.asarray(False)
 
     setup = make_setup(geom, uniforms, config, needs=spec.needs)
-    vspec = VARYING_SPECS[pipeline]
     # Same shade/raster strategy as the single-device path
     # (frame.render_frame): fused two-pass raster when the z target is not
     # needed, strip-compacted shading on the kernel backends — each device
@@ -216,8 +277,12 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         )
         shadow_local = shadow_p[:rows_per_shard, :W]
         idx = idx_p[:rows_per_shard, :W]
-        z, varys, strips, kspec = None, None, None, ()
+        z = None
         shadow_full = jax.lax.all_gather(shadow_local, "rows").reshape(-1, W)
+        frame = _assemble_shade(
+            setup, idx, pipeline, uniforms, textures, config, shadow_full,
+            y0, rows_per_shard, compact, kspec=(),
+        )
     else:
         if spec.two_pass:
             if config.replicate_pass1:
@@ -246,46 +311,11 @@ def _render_shard(geom, textures, light_direction, look_from, look_at, up,
         else:
             shadow_local = jnp.full((rows_per_shard, W), ml.F32_MIN, jnp.float32)
             shadow_full = None
-        if compact:
-            kspec = pspec or ()
-        else:
-            kspec = (
-                kernel_varying_spec(pipeline, textures, tile=config.tex_tile)
-                if backend != "jnp"
-                else vspec
-            )
-        z, idx, varys, strips, ovf2 = _raster_shard(
-            setup, config, rows_per_shard, y0, backend, spec=kspec, emit_z=needs_z,
-            emit_strips=_strip_mask_len(config) if compact else 0,
+        frame, z, ovf2 = _camera_pass_and_shade(
+            setup, uniforms, pipeline, textures, config, backend,
+            rows_per_shard, y0, shadow_full, needs_z,
         )
-        ovf2 = ovf2 | setup["coord_overflow"]
 
-    if _needs_pack(textures, pipeline, config.tex_tile):
-        textures = shaders.pack_textures(
-            textures, _pipeline_maps()[pipeline], jnp, tile=config.tex_tile
-        )
-    if spec.two_pass:
-        # Same per-shade relayout as frame.render_frame (config.shadow_tile;
-        # each device swizzles the gathered full map — elementwise, no
-        # further collective).
-        shadow_full = _shadow_for_shade(shadow_full, spec, config)
-    if compact:
-        frame = _shade_strips(
-            setup, idx, pipeline, uniforms, textures, config,
-            shadow_full if spec.two_pass else None, y_offset=y0,
-            strip_mask=strips, planes=varys, planes_spec=kspec,
-        )
-    else:
-        if varys is None:
-            frag = _shade_jnp_path(setup, idx, pipeline, config, y_offset=y0)
-        else:
-            frag = _fragments_from_planes(kspec, varys, rows_per_shard, W, y_offset=y0)
-            _add_const_gather(frag, kspec, vspec, setup, idx)
-        if spec.two_pass:
-            frag["shadow_buffer"] = shadow_full
-        colors = spec.shade(frag, uniforms, textures, config, jnp)
-        covered = (idx >= 0)[..., None]
-        frame = jnp.where(covered, colors, jnp.uint8(0))
     # Per-shard overflow (binning caps / coord exactness drops), shape (1,)
     # so shard_map can concatenate over "rows"; callers any()-reduce it.
     overflow = jnp.reshape(ovf1 | ovf2, (1,))
@@ -413,9 +443,192 @@ def render_batch_sharded(
     return {"frame": frames, "z": zs, "overflow": jnp.any(ovfs, axis=1)}
 
 
+def make_pp_mesh(devices=None):
+    """Mesh over ("stage", "rows") for two-pass pipeline parallelism
+    (render_sequence_pipelined): stage 0 rasterizes the light pass of
+    frame t while stage 1 shades frame t-1.  Needs an even device count;
+    each stage group row-shards its own pass over "rows"."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % 2 != 0:
+        raise ValueError(f"pipeline mesh needs an even device count, have {n}")
+    import numpy as np
+
+    arr = np.array(devices).reshape(2, n // 2)
+    return Mesh(arr, axis_names=("stage", "rows"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pipeline", "config", "mesh", "backend")
+)
+def render_sequence_pipelined(
+    geom, textures, light_directions, look_froms, look_at, up, *, pipeline,
+    config, mesh, backend="jnp",
+):
+    """Two-pass PIPELINE parallelism over a ("stage", "rows") mesh.
+
+    The reference renders its two passes back-to-back on one device
+    (src/app.rs:230-242 drives the orbit; shader.rs:668-963 is the
+    depth-pre-pass + shade).  Here the passes are split ACROSS the mesh's
+    "stage" axis and software-pipelined over a frame sequence inside one
+    lax.scan: at step t, stage 0 rasterizes the LIGHT view of frame t
+    (row-sharded over its "rows" group) while stage 1 runs the camera
+    pass + shade of frame t-1 with the shadow map handed over via
+    jax.lax.ppermute at the end of step t-1.  Steady-state throughput is
+    max(pass 1, pass 2) per step instead of their sum — the win over pure
+    row sharding appears when intra-frame row scaling saturates (small
+    slabs / many devices), the same regime PP targets in ML serving.
+
+    Collectives are uniform across the mesh (the per-stage divergence
+    lives in collective-free lax.cond branches): one all_gather over
+    "rows" assembles the light map inside each stage group (stage 1's is
+    discarded), one ppermute moves it stage 0 -> stage 1.  Frames are
+    bit-identical to render_frame_sharded / the single-device path — the
+    slab raster/shade code is shared (_raster_shard,
+    _camera_pass_and_shade) and the handoff is a pure permutation.
+
+    Only two-pass pipelines make sense here (ValueError otherwise);
+    config.shard_triangles and replicate_pass1 are pass-1 strategies that
+    contradict the stage split and are rejected.  The burst posture is
+    assumed (no z targets).  Returns {"frame": (B, H, W, 3),
+    "overflow": (B,)}.
+    """
+    spec = PIPELINES[pipeline]
+    if not spec.two_pass:
+        raise ValueError(
+            f"pipeline {pipeline!r} is single-pass; pipeline parallelism "
+            "splits the shadow pre-pass from the shade — use "
+            "render_batch_sharded instead"
+        )
+    if config.shard_triangles or config.replicate_pass1:
+        raise ValueError(
+            "shard_triangles / replicate_pass1 are pass-1 strategies "
+            "incompatible with the stage split"
+        )
+    if dict(mesh.shape).get("stage") != 2 or "rows" not in mesh.shape:
+        raise ValueError(f'mesh must have axes ("stage"=2, "rows"); got {dict(mesh.shape)}')
+    n_rows = mesh.shape["rows"]
+    if config.height % n_rows != 0:
+        raise ValueError(f"height {config.height} not divisible by rows axis {n_rows}")
+    rows_per = config.height // n_rows
+    if backend != "jnp" and rows_per % config.tile_h != 0:
+        raise ValueError(
+            f"shard height {rows_per} not divisible by tile_h {config.tile_h}"
+        )
+    B = light_directions.shape[0]
+    H, W = config.height, config.width
+
+    # Shifted parameter streams: step t consumes frame t's params on
+    # stage 0 and frame t-1's on stage 1 (B+1 steps total; the pads are
+    # consumed by the pipeline's fill/drain steps and discarded).
+    lights_t = jnp.concatenate([light_directions, light_directions[-1:]], 0)
+    froms_t = jnp.concatenate([look_froms, look_froms[-1:]], 0)
+    lights_p = jnp.concatenate([light_directions[:1], light_directions], 0)
+    froms_p = jnp.concatenate([look_froms[:1], look_froms], 0)
+
+    def body(geom, textures, lights_t, froms_t, lights_p, froms_p, look_at, up):
+        stage = jax.lax.axis_index("stage")
+        d = jax.lax.axis_index("rows")
+        y0 = d * rows_per
+
+        def step(carry, xs):
+            shadow_prev, ovf_prev = carry
+            l_t, f_t, l_p, f_p = xs
+
+            # Stage 0: light-view slab of frame t.  Collective-free branch.
+            def pass1(_):
+                u1 = ml.shadow_pass_1_prepare(config, l_t, look_at, up, jnp)
+                setup1 = triangle_setup(
+                    geom, u1, config, matrix_key="shadow_matrix", cull=False,
+                    needs=(), xp=jnp,
+                )
+                slab, _, _, _, o = _raster_shard(
+                    setup1, config, rows_per, y0, backend, spec=(),
+                    emit_idx=False,
+                )
+                return slab, jnp.reshape(
+                    (o | setup1["coord_overflow"]).astype(jnp.int32), (1,)
+                )
+
+            def idle1(_):
+                return (
+                    jnp.full((rows_per, W), ml.F32_MIN, jnp.float32),
+                    jnp.zeros((1,), jnp.int32),
+                )
+
+            slab_t, ovf1_t = jax.lax.cond(stage == 0, pass1, idle1, None)
+            # Uniform collectives: every "rows" group assembles its stage's
+            # full-height map (stage 1's gathered garbage is discarded).
+            shadow_t = jax.lax.all_gather(slab_t, "rows").reshape(-1, W)
+            ovf1_t = jnp.sum(jax.lax.all_gather(ovf1_t, "rows"), dtype=jnp.int32)
+            ovf1_t = jnp.reshape(ovf1_t, (1,))
+
+            # Stage 1: camera pass + shade of frame t-1 with the carried
+            # map.  Collective-free branch (shared slab code).
+            def pass2(_):
+                u1p = ml.shadow_pass_1_prepare(config, l_p, look_at, up, jnp)
+                uniforms = ml.shadow_pass_2_prepare(
+                    config, l_p, f_p, look_at, up, jnp
+                )
+                uniforms["shadow_matrix"] = u1p["shadow_matrix"]
+                setup = triangle_setup(
+                    geom, uniforms, config, needs=spec.needs, xp=jnp
+                )
+                frame, _, o = _camera_pass_and_shade(
+                    setup, uniforms, pipeline, textures, config, backend,
+                    rows_per, y0, shadow_prev, needs_z=False,
+                )
+                return frame, jnp.reshape(o.astype(jnp.int32), (1,))
+
+            def idle2(_):
+                return (
+                    jnp.zeros((rows_per, W, 3), jnp.uint8),
+                    jnp.zeros((1,), jnp.int32),
+                )
+
+            frame_slab, ovf2 = jax.lax.cond(stage == 1, pass2, idle2, None)
+
+            # Handoff: frame t's light map (and its pass-1 overflow) moves
+            # stage 0 -> stage 1 for the next step; stage 0's carry slots
+            # receive ppermute's zero fill and are never read.
+            shadow_next = jax.lax.ppermute(shadow_t, "stage", [(0, 1)])
+            ovf1_next = jax.lax.ppermute(ovf1_t, "stage", [(0, 1)])
+            # Frame t-1's overflow = its pass-1 flag (carried) | pass-2.
+            out_ovf = ((ovf_prev + ovf2) > 0).astype(jnp.int32)
+            return (shadow_next, ovf1_next), (frame_slab, out_ovf)
+
+        carry0 = (
+            jnp.zeros((H, W), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+        )
+        xs = (lights_t, froms_t, lights_p, froms_p)
+        _, (frames, ovfs) = jax.lax.scan(step, carry0, xs)
+        return frames, ovfs  # (B+1, rows_per, W, 3), (B+1, 1)
+
+    rep = P()
+    outs = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep,) * 8,
+        out_specs=(
+            P(None, ("stage", "rows"), None, None),
+            P(None, ("stage", "rows")),
+        ),
+        check_vma=False,
+    )(geom, textures, lights_t, froms_t, lights_p, froms_p, look_at, up)
+    frames_full, ovfs_full = outs  # (B+1, 2H, W, 3), (B+1, 2*n_rows)
+    # Steps 1..B of the stage-1 half are frames 0..B-1; step 0 is the
+    # pipeline-fill step and the first half is stage 0's zero slabs.
+    frames = frames_full[1:, H:]
+    overflow = jnp.any(ovfs_full[1:] > 0, axis=1)
+    return {"frame": frames, "overflow": overflow}
+
+
 # The sharded jits are also keyed on the pipeline NAME; register them so
 # register_pipeline(overwrite=True)/unregister_pipeline invalidate their
 # compiled executables too (frame._clear_pipeline_jit_caches).
 from ..pipelines import frame as _frame  # noqa: E402
 
-_frame._PIPELINE_JIT_FNS.extend([render_frame_sharded, render_batch_sharded])
+_frame._PIPELINE_JIT_FNS.extend(
+    [render_frame_sharded, render_batch_sharded, render_sequence_pipelined]
+)
