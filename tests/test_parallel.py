@@ -495,3 +495,37 @@ def test_pipelined_overflow_contract(camera, eight_devices):
         gj, tj, fwd, fwd, look_at, up)
     assert bool(np.asarray(single["overflow"]))
     assert np.all(np.asarray(out["overflow"]))
+
+
+@pytest.mark.slow
+def test_flagship_shape_pipelined_bit_equal(diablo_scene_data, camera, eight_devices):
+    """The headline workload (diablo shadow 800x800) through the pipelined
+    two-pass path: every frame of the sequence must be BIT-equal to the
+    single-device render — exercises the ppermute shadow handoff, the
+    stage-local binning windows, and strip y_offset arithmetic at real
+    scale (the pp analog of test_flagship_shape_sharded_bit_equal)."""
+    from tiny_renderer_tpu.parallel import make_pp_mesh, render_sequence_pipelined
+
+    cfg = RenderConfig(width=800, height=800, tri_block=64)
+    mesh = make_pp_mesh(eight_devices)
+    gj, tj, light, look_from, look_at, up = _args(diablo_scene_data, camera)
+    B = 2
+    angles = np.linspace(0.0, 0.9, B, dtype=np.float32)
+    lights = jnp.asarray(np.stack(
+        [[np.sin(a), 0.0, np.cos(a)] for a in angles], dtype=np.float32))
+    froms = jnp.asarray(np.stack(
+        [[np.sin(a + 0.2), 0.0, np.cos(a + 0.2)] for a in angles],
+        dtype=np.float32))
+
+    out = render_sequence_pipelined(
+        gj, tj, lights, froms, look_at, up, pipeline="shadow", config=cfg,
+        mesh=mesh, backend="jnp",
+    )
+    single = make_frame_fn("shadow", cfg, backend="jnp")
+    for i in range(B):
+        ref = single(gj, tj, lights[i], froms[i], look_at, up)
+        np.testing.assert_array_equal(
+            np.asarray(out["frame"][i]), np.asarray(ref["frame"]),
+            err_msg=f"frame {i}",
+        )
+    assert not np.any(np.asarray(out["overflow"]))
