@@ -9,6 +9,10 @@ virtual CPU devices so it runs anywhere (same technique as the driver's
 dryrun — the XLA flag must be set before the backend initializes).
 
 Run:  python examples/sharded_render.py [asset_dir] [out.png] [--replicate-pass1]
+      python examples/sharded_render.py [asset_dir] [out.png] --pipelined
+        (--pipelined: a 3-frame orbit through render_sequence_pipelined —
+         two-pass pipeline parallelism on a ("stage", "rows") mesh; writes
+         out.png per frame with a -N suffix)
 """
 
 from __future__ import annotations
@@ -44,10 +48,14 @@ def main():
         render_frame_sharded,
     )
 
-    argv = [a for a in sys.argv[1:] if a != "--replicate-pass1"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--replicate-pass1", "--pipelined")]
     # --replicate-pass1: full-height per-device light pass instead of the
     # all_gather'ed shadow map (the ICI-vs-FLOPs knob; output identical).
     replicate = "--replicate-pass1" in sys.argv[1:]
+    # --pipelined: render a short orbit through the two-pass pipeline-
+    # parallel path (("stage", "rows") mesh, ppermute shadow handoff).
+    pipelined = "--pipelined" in sys.argv[1:]
     asset = argv[0] if len(argv) > 0 else "/root/reference/assets/diablo"
     out = argv[1] if len(argv) > 1 else "/tmp/sharded.png"
 
@@ -67,6 +75,40 @@ def main():
         "specular_map": jnp.asarray(model.specular_map),
     }
 
+    look_at = jnp.zeros(3, jnp.float32)
+    up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+
+    from tiny_renderer_tpu.utils.png import write_png
+
+    if pipelined:
+        from tiny_renderer_tpu.parallel import (
+            make_pp_mesh,
+            render_sequence_pipelined,
+        )
+
+        mesh = make_pp_mesh(jax.devices()[:N_DEVICES])
+        print(f"pp mesh: {dict(mesh.shape)} over {N_DEVICES} devices")
+        cfg = RenderConfig(width=800, height=800)
+        B = 3
+        angles = np.linspace(0.0, 0.9, B, dtype=np.float32)
+        lights = jnp.asarray(np.stack(
+            [[np.sin(a + 0.35), 0.0, np.cos(a + 0.35)] for a in angles],
+            dtype=np.float32))
+        froms = jnp.asarray(np.stack(
+            [[np.sin(a + 0.25), 0.0, np.cos(a + 0.25)] for a in angles],
+            dtype=np.float32))
+        result = render_sequence_pipelined(
+            geom, tex, lights, froms, look_at, up,
+            pipeline="shadow", config=cfg, mesh=mesh,
+        )
+        base, ext = os.path.splitext(out)
+        for i in range(B):
+            frame = np.asarray(result["frame"][i])[::-1]  # presentation flip
+            write_png(f"{base}-{i}{ext}", frame)
+            print(f"wrote {base}-{i}{ext}")
+        print(f"overflow={np.asarray(result['overflow']).tolist()}")
+        return
+
     mesh = make_row_mesh(jax.devices()[:N_DEVICES], batch=1)
     print(f"mesh: {dict(mesh.shape)} over {N_DEVICES} devices")
     cfg = RenderConfig(width=800, height=800, replicate_pass1=replicate)
@@ -74,13 +116,10 @@ def main():
         geom, tex,
         jnp.asarray([0.35, 0.0, 0.94], jnp.float32),   # light
         jnp.asarray([0.25, 0.0, 0.97], jnp.float32),   # look_from
-        jnp.zeros(3, jnp.float32),                     # look_at
-        jnp.asarray([0.0, 1.0, 0.0], jnp.float32),     # up
+        look_at, up,
         pipeline="shadow", config=cfg, mesh=mesh,
     )
     frame = np.asarray(result["frame"])[::-1]  # presentation flip
-
-    from tiny_renderer_tpu.utils.png import write_png
 
     write_png(out, frame)
     print(f"wrote {out} ({frame.shape[1]}x{frame.shape[0]}, "
