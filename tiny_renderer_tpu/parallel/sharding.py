@@ -518,22 +518,29 @@ def render_sequence_pipelined(
     B = light_directions.shape[0]
     H, W = config.height, config.width
 
-    # Shifted parameter streams: step t consumes frame t's params on
-    # stage 0 and frame t-1's on stage 1 (B+1 steps total; the pads are
-    # consumed by the pipeline's fill/drain steps and discarded).
+    # Pack the loop-invariant texture plane ONCE before the scan (the
+    # in-body _assemble_shade detects the packed key and skips a repack).
+    if _needs_pack(textures, pipeline, config.tex_tile):
+        textures = shaders.pack_textures(
+            textures, _pipeline_maps()[pipeline], jnp, tile=config.tex_tile
+        )
+
+    # Shifted parameter streams: step t consumes frame t's LIGHT on
+    # stage 0 and frame t-1's light+camera on stage 1 (B+1 steps total;
+    # the fill/drain steps are skipped by the step-counter gates below).
     lights_t = jnp.concatenate([light_directions, light_directions[-1:]], 0)
-    froms_t = jnp.concatenate([look_froms, look_froms[-1:]], 0)
     lights_p = jnp.concatenate([light_directions[:1], light_directions], 0)
     froms_p = jnp.concatenate([look_froms[:1], look_froms], 0)
+    steps = jnp.arange(B + 1, dtype=jnp.int32)
 
-    def body(geom, textures, lights_t, froms_t, lights_p, froms_p, look_at, up):
+    def body(geom, textures, lights_t, lights_p, froms_p, steps, look_at, up):
         stage = jax.lax.axis_index("stage")
         d = jax.lax.axis_index("rows")
         y0 = d * rows_per
 
         def step(carry, xs):
             shadow_prev, ovf_prev = carry
-            l_t, f_t, l_p, f_p = xs
+            l_t, l_p, f_p, t = xs
 
             # Stage 0: light-view slab of frame t.  Collective-free branch.
             def pass1(_):
@@ -556,7 +563,13 @@ def render_sequence_pipelined(
                     jnp.zeros((1,), jnp.int32),
                 )
 
-            slab_t, ovf1_t = jax.lax.cond(stage == 0, pass1, idle1, None)
+            # Step-counter gates skip the fill/drain waste: the last step
+            # has no frame t to pre-rasterize, the first no frame t-1 to
+            # shade.  Uniform within each "rows" group (t is global), so
+            # the collectives below stay mesh-uniform.
+            slab_t, ovf1_t = jax.lax.cond(
+                (stage == 0) & (t < B), pass1, idle1, None
+            )
             # Uniform collectives: every "rows" group assembles its stage's
             # full-height map (stage 1's gathered garbage is discarded).
             shadow_t = jax.lax.all_gather(slab_t, "rows").reshape(-1, W)
@@ -586,7 +599,9 @@ def render_sequence_pipelined(
                     jnp.zeros((1,), jnp.int32),
                 )
 
-            frame_slab, ovf2 = jax.lax.cond(stage == 1, pass2, idle2, None)
+            frame_slab, ovf2 = jax.lax.cond(
+                (stage == 1) & (t >= 1), pass2, idle2, None
+            )
 
             # Handoff: frame t's light map (and its pass-1 overflow) moves
             # stage 0 -> stage 1 for the next step; stage 0's carry slots
@@ -601,7 +616,7 @@ def render_sequence_pipelined(
             jnp.zeros((H, W), jnp.float32),
             jnp.zeros((1,), jnp.int32),
         )
-        xs = (lights_t, froms_t, lights_p, froms_p)
+        xs = (lights_t, lights_p, froms_p, steps)
         _, (frames, ovfs) = jax.lax.scan(step, carry0, xs)
         return frames, ovfs  # (B+1, rows_per, W, 3), (B+1, 1)
 
@@ -615,7 +630,7 @@ def render_sequence_pipelined(
             P(None, ("stage", "rows")),
         ),
         check_vma=False,
-    )(geom, textures, lights_t, froms_t, lights_p, froms_p, look_at, up)
+    )(geom, textures, lights_t, lights_p, froms_p, steps, look_at, up)
     frames_full, ovfs_full = outs  # (B+1, 2H, W, 3), (B+1, 2*n_rows)
     # Steps 1..B of the stage-1 half are frames 0..B-1; step 0 is the
     # pipeline-fill step and the first half is stage 0's zero slabs.
