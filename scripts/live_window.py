@@ -12,6 +12,8 @@ on-hardware queue in ONE process — one init, one wedge risk:
                                only when a parity-clean variant beat the
                                default by >0.1 ms — the defaults-flip
                                confirmation number)
+    5. blit probe             (scripts/blit_probe.py — re-measure the
+                               bimodal device->host transfer regime)
 
 Each step's outcome is printed as a `[live-window] <step> rc=<n>` line;
 a failing step never blocks the next (the certification matters even if
@@ -88,6 +90,7 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import bench
+    import blit_probe
     import knob_sweep
     import tpu_smoke
 
@@ -125,6 +128,10 @@ def main():
             rcs["bench_flipped"], _ = _step(
                 f"bench flipped ({' '.join(knobs)})", argv, bench.main
             )
+    # Blit-regime re-probe, last (CLAUDE.md: the device->host transfer
+    # regime FLIPS between tunnel states; utils/transfer.fetch's default
+    # was set from the round-3 probe — re-measure in this window).
+    rcs["blit_probe"], _ = _step("blit_probe", ["blit_probe.py"], blit_probe.main)
     print(f"[live-window] done: {rcs}", flush=True)
     sys.exit(max(rcs.values()))
 
