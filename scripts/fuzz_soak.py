@@ -1,0 +1,107 @@
+"""Long-running oracle-parity soak over random knob/scene/pose draws.
+
+Reuses the fuzz suite's draw machinery (tests/test_fuzz_configs.py) but
+over an arbitrary seed range — the fixed-seed fast tests sample the draw
+space 3 ways; a soak samples it hundreds of ways.  Each iteration draws
+a random valid RenderConfig, a random triangle soup, and a random
+light/camera pose, renders through the REAL kernel path
+(pallas_interpret) and the float64 oracle, and asserts the parity
+contract (tie-flips <=1% of covered pixels; flagged-deterministic
+coverage drop under tight span caps).
+
+CPU-only (forces the cpu platform before any jax import — safe to run
+during a tunnel outage).  On the first failure it prints a one-line
+repro (seed + config) and exits 1; a clean run prints a summary line.
+
+Usage: python scripts/fuzz_soak.py [first_seed] [n_seeds]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests")
+    )
+    from test_fuzz_configs import _random_config, _random_scene
+
+    from tiny_renderer_tpu.models.procedural import make_textures
+    from tiny_renderer_tpu.oracle import render_oracle
+    from tiny_renderer_tpu.pipelines.frame import make_frame_fn
+
+    first = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    count = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    pipelines = ["phong", "shadow", "occlusion", "darboux", "specular",
+                 "normal_map", "default"]
+
+    t0 = time.time()
+    clamped = 0
+    for i, seed in enumerate(range(first, first + count)):
+        rng = np.random.default_rng(seed)
+        pipeline = pipelines[seed % len(pipelines)]
+        geom = _random_scene(100, seed)
+        tex = make_textures(64)
+        a, b = rng.uniform(-np.pi, np.pi, 2)
+        light = np.array([np.sin(a), 0, np.cos(a)], np.float32)
+        look_from = np.array([np.sin(b), 0, np.cos(b)], np.float32)
+        look_at = np.zeros(3, np.float32)
+        up = np.array([0, 1, 0], np.float32)
+        cfg = _random_config(rng, 96, 96)
+        repro = f"seed={seed} pipeline={pipeline} cfg={cfg}"
+
+        try:
+            fn = make_frame_fn(pipeline, cfg, backend="pallas_interpret")
+            args = (
+                jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+                jnp.asarray(light), jnp.asarray(look_from),
+                jnp.asarray(look_at), jnp.asarray(up),
+            )
+            r = fn(*args)
+            if bool(np.asarray(r["overflow"])):
+                if not (cfg.max_span_y == 2 or cfg.max_span_x == 2):
+                    print(f"FAIL spurious overflow under loose caps: {repro}")
+                    return 1
+                r2 = fn(*args)
+                if not np.array_equal(np.asarray(r["frame"]),
+                                      np.asarray(r2["frame"])):
+                    print(f"FAIL nondeterministic clamped render: {repro}")
+                    return 1
+                clamped += 1
+            else:
+                o = render_oracle(geom, tex, light, look_from, look_at, up,
+                                  pipeline=pipeline, config=cfg)
+                mismatch = (
+                    (np.asarray(r["frame"]) != o["frame"]).any(axis=-1).mean()
+                )
+                if mismatch > 0.01:
+                    print(f"FAIL mismatch {mismatch:.3%}: {repro}")
+                    return 1
+        except Exception as e:  # noqa: BLE001 — a soak must name its repro
+            print(f"FAIL exception {e!r}: {repro}")
+            raise
+
+        if (i + 1) % 10 == 0:
+            dt = time.time() - t0
+            print(f"[soak] {i + 1}/{count} ok ({clamped} clamped) "
+                  f"{dt / (i + 1):.1f} s/draw", flush=True)
+
+    print(f"[soak] PASS: {count} draws (seeds {first}..{first + count - 1}), "
+          f"{clamped} flagged-clamped, {time.time() - t0:.0f} s total")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
