@@ -25,6 +25,48 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+def _overflow_reason(geomj, cfg, pipeline, light, look_from, look_at, up):
+    """Ground-truth reasons the overflow flag may be set for this draw:
+    per-pass worst bbox span (tiles touched) beyond the caps, or a coord
+    exactness trip.  Empty list = the flag would be spurious."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tiny_renderer_tpu.ops import mathlib as ml
+    from tiny_renderer_tpu.ops.vertex import triangle_setup
+    from tiny_renderer_tpu.pipelines.frame import PIPELINES
+
+    spec = PIPELINES[pipeline]
+    passes = []
+    if spec.two_pass:
+        u1 = ml.shadow_pass_1_prepare(cfg, light, look_at, up, jnp)
+        u2 = ml.shadow_pass_2_prepare(cfg, light, look_from, look_at, up, jnp)
+        u2["shadow_matrix"] = u1["shadow_matrix"]
+        passes = [(u1, "shadow_matrix", False), (u2, "vpmv", True)]
+    else:
+        passes = [(
+            ml.default_prepare(cfg, light, look_from, look_at, up, jnp),
+            "vpmv", True,
+        )]
+    reasons = []
+    for p, (uni, mk, cull) in enumerate(passes):
+        setup = triangle_setup(
+            geomj, uni, cfg, matrix_key=mk, cull=cull, needs=(), xp=jnp
+        )
+        if bool(np.asarray(setup["coord_overflow"])):
+            reasons.append(f"pass{p} coord_overflow")
+        v = np.asarray(setup["valid"])
+        if v.any():
+            sy = int(((np.asarray(setup["y1"])[v] // cfg.tile_h)
+                      - (np.asarray(setup["y0"])[v] // cfg.tile_h)).max()) + 1
+            sx = int(((np.asarray(setup["x1"])[v] // cfg.tile_w)
+                      - (np.asarray(setup["x0"])[v] // cfg.tile_w)).max()) + 1
+            if sy > cfg.max_span_y or sx > cfg.max_span_x:
+                reasons.append(f"pass{p} span {sy}x{sx} tiles "
+                               f"> caps {cfg.max_span_y}x{cfg.max_span_x}")
+    return reasons
+
+
 def main():
     import jax
 
@@ -71,8 +113,16 @@ def main():
             )
             r = fn(*args)
             if bool(np.asarray(r["overflow"])):
-                if not (cfg.max_span_y == 2 or cfg.max_span_x == 2):
-                    print(f"FAIL spurious overflow under loose caps: {repro}")
+                # The flag must have a ground-truth reason: a pass whose
+                # worst bbox exceeds the span caps in TILES TOUCHED, or a
+                # coord-exactness trip (computed from the actual setups,
+                # not a cap heuristic — a cap of 4 at tile_h=8 is only
+                # 32 px and can legitimately bind).
+                reasons = _overflow_reason(
+                    args[0], cfg, pipeline, *args[2:]
+                )
+                if not reasons:
+                    print(f"FAIL spurious overflow (no reason found): {repro}")
                     return 1
                 r2 = fn(*args)
                 if not np.array_equal(np.asarray(r["frame"]),

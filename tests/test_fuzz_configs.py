@@ -99,11 +99,17 @@ def test_fuzz_random_knobs(seed):
            jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
            jnp.asarray(up))
     if bool(np.asarray(r["overflow"])):
-        # Only a TIGHT span draw may clamp these 100-triangle scenes (the
-        # generous default caps never fired before span draws were added)
-        # — overflow under a loose draw is a regression, not the contract.
-        assert cfg.max_span_y == 2 or cfg.max_span_x == 2, \
-            f"spurious overflow under loose caps: {cfg}"
+        # Span caps are guaranteed-loose only when a full-screen bbox fits
+        # under them IN PIXELS (cap * tile >= screen): e.g. max_span_y=4 at
+        # tile_h=8 caps bboxes at 32 px — easily exceeded by these soups
+        # (found by scripts/fuzz_soak.py seed 1012: worst span 5 tiles).
+        # Overflow under guaranteed-loose caps is a regression; under
+        # binding caps it is the documented flagged-deterministic contract.
+        import math
+
+        loose = (cfg.max_span_y >= math.ceil(96 / cfg.tile_h)
+                 and cfg.max_span_x >= math.ceil(96 / cfg.tile_w))
+        assert not loose, f"spurious overflow under guaranteed-loose caps: {cfg}"
         # Coverage drop under a tight cap is the documented contract — it
         # must be FLAGGED (it was) and deterministic.  Oracle parity only
         # applies to the unclamped regime.
