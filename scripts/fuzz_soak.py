@@ -13,7 +13,14 @@ CPU-only (forces the cpu platform before any jax import — safe to run
 during a tunnel outage).  On the first failure it prints a one-line
 repro (seed + config) and exits 1; a clean run prints a summary line.
 
-Usage: python scripts/fuzz_soak.py [first_seed] [n_seeds]
+Usage: python scripts/fuzz_soak.py [first_seed] [n_seeds] [--sharded]
+
+--sharded: soak the ROW-SHARDED path instead (8 virtual CPU devices):
+random poses + sharding knob draws (binning_compact, shard_triangles,
+replicate_pass1) through render_frame_sharded must stay BIT-identical
+to single-device; every 3rd two-pass draw additionally runs the
+pipelined two-pass path (render_sequence_pipelined) and asserts the
+same bit-identity per frame.
 """
 
 from __future__ import annotations
@@ -67,7 +74,107 @@ def _overflow_reason(geomj, cfg, pipeline, light, look_from, look_at, up):
     return reasons
 
 
+def _soak_sharded(first, count):
+    """Row-sharded (and pipelined) bit-identity soak on the virtual mesh."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests")
+    )
+    from test_fuzz_configs import _random_scene
+
+    from tiny_renderer_tpu import RenderConfig
+    from tiny_renderer_tpu.models.procedural import make_textures
+    from tiny_renderer_tpu.parallel import (
+        make_pp_mesh,
+        make_row_mesh,
+        render_frame_sharded,
+        render_sequence_pipelined,
+    )
+    from tiny_renderer_tpu.pipelines.frame import make_frame_fn
+
+    devices = jax.devices()[:8]
+    assert len(devices) == 8, "needs the 8-device virtual CPU mesh"
+    mesh = make_row_mesh(devices, batch=1)
+    pp_mesh = make_pp_mesh(devices)
+    pipelines = ["phong", "shadow", "darboux", "occlusion", "specular"]
+
+    t0 = time.time()
+    pp_checked = 0
+    for i, seed in enumerate(range(first, first + count)):
+        rng = np.random.default_rng(seed)
+        pipeline = pipelines[seed % len(pipelines)]
+        geom = _random_scene(100, seed)
+        tex = make_textures(64)
+        a, b = rng.uniform(-np.pi, np.pi, 2)
+        light = np.array([np.sin(a), 0, np.cos(a)], np.float32)
+        look_from = np.array([np.sin(b), 0.3, np.cos(b)], np.float32)
+        look_at = np.zeros(3, np.float32)
+        up = np.array([0, 1, 0], np.float32)
+        cfg = RenderConfig(
+            width=96, height=96, tri_block=32,
+            binning_compact=bool(rng.integers(2)),
+            shard_triangles=bool(rng.integers(2)),
+            replicate_pass1=bool(rng.integers(2)),
+        )
+        repro = f"seed={seed} pipeline={pipeline} cfg={cfg}"
+        args = (
+            jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+            jnp.asarray(light), jnp.asarray(look_from), jnp.asarray(look_at),
+            jnp.asarray(up),
+        )
+        sharded = render_frame_sharded(
+            *args, pipeline=pipeline, config=cfg, mesh=mesh
+        )
+        single_cfg = dataclasses.replace(cfg, shard_triangles=False)
+        single = make_frame_fn(pipeline, single_cfg, backend="jnp")(*args)
+        if not np.array_equal(np.asarray(sharded["frame"]),
+                              np.asarray(single["frame"])):
+            print(f"FAIL sharded != single: {repro}")
+            return 1
+        two_pass = pipeline in ("shadow", "occlusion")
+        if two_pass and seed % 3 == 0:
+            pp_cfg = dataclasses.replace(
+                cfg, shard_triangles=False, replicate_pass1=False
+            )
+            lights = jnp.stack([args[2], args[2]])
+            froms = jnp.stack([args[3], args[3]])
+            pp = render_sequence_pipelined(
+                args[0], args[1], lights, froms, args[4], args[5],
+                pipeline=pipeline, config=pp_cfg, mesh=pp_mesh,
+            )
+            pp_single = make_frame_fn(pipeline, pp_cfg, backend="jnp")(*args)
+            for f in range(2):
+                if not np.array_equal(np.asarray(pp["frame"][f]),
+                                      np.asarray(pp_single["frame"])):
+                    print(f"FAIL pipelined frame {f} != single: {repro}")
+                    return 1
+            pp_checked += 1
+        if (i + 1) % 10 == 0:
+            dt = time.time() - t0
+            print(f"[soak/sharded] {i + 1}/{count} ok ({pp_checked} pp) "
+                  f"{dt / (i + 1):.1f} s/draw", flush=True)
+    print(f"[soak/sharded] PASS: {count} draws (seeds {first}.."
+          f"{first + count - 1}), {pp_checked} pipelined-checked, "
+          f"{time.time() - t0:.0f} s total")
+    return 0
+
+
 def main():
+    sharded = "--sharded" in sys.argv
+    if sharded:
+        os.environ["XLA_FLAGS"] = (
+            " ".join(
+                f for f in os.environ.get("XLA_FLAGS", "").split()
+                if not f.startswith("--xla_force_host_platform_device_count")
+            )
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -84,8 +191,11 @@ def main():
     from tiny_renderer_tpu.oracle import render_oracle
     from tiny_renderer_tpu.pipelines.frame import make_frame_fn
 
-    first = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    count = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    argv = [a for a in sys.argv[1:] if a != "--sharded"]
+    first = int(argv[0]) if len(argv) > 0 else 1000
+    count = int(argv[1]) if len(argv) > 1 else 100
+    if sharded:
+        return _soak_sharded(first, count)
     pipelines = ["phong", "shadow", "occlusion", "darboux", "specular",
                  "normal_map", "default"]
 
