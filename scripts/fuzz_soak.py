@@ -158,6 +158,7 @@ def _soak_sharded(first, count):
             dt = time.time() - t0
             print(f"[soak/sharded] {i + 1}/{count} ok ({pp_checked} pp) "
                   f"{dt / (i + 1):.1f} s/draw", flush=True)
+            jax.clear_caches()  # unbounded unique-signature cache (see above)
     print(f"[soak/sharded] PASS: {count} draws (seeds {first}.."
           f"{first + count - 1}), {pp_checked} pipelined-checked, "
           f"{time.time() - t0:.0f} s total")
@@ -269,6 +270,10 @@ def main():
             dt = time.time() - t0
             print(f"[soak] {i + 1}/{count} ok ({clamped} clamped) "
                   f"{dt / (i + 1):.1f} s/draw", flush=True)
+            # Every draw is a fresh jit signature; without this the
+            # executable cache grows without bound and a long soak dies
+            # in LLVM OOM (observed at ~150 draws x 2 concurrent soaks).
+            jax.clear_caches()
 
     print(f"[soak] PASS: {count} draws (seeds {first}..{first + count - 1}), "
           f"{clamped} flagged-clamped, {time.time() - t0:.0f} s total")
