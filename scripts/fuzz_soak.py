@@ -212,7 +212,12 @@ def main():
         look_from = np.array([np.sin(b), 0, np.cos(b)], np.float32)
         look_at = np.zeros(3, np.float32)
         up = np.array([0, 1, 0], np.float32)
-        cfg = _random_config(rng, 96, 96)
+        # Random (tile-unaligned) sizes too — the fixed-size fast fuzz
+        # holds 96x96; sizes are a separate bug axis (edge tiles, strip
+        # tails).  Biased small to keep the float64 oracle fast.
+        w = int(rng.choice([48, 64, 96, 100, 130, 160, 200]))
+        h = int(rng.choice([48, 64, 96, 100, 130, 160, 200]))
+        cfg = _random_config(rng, w, h)
         repro = f"seed={seed} pipeline={pipeline} cfg={cfg}"
 
         try:
