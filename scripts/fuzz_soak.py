@@ -234,8 +234,10 @@ def main():
                 # coord-exactness trip (computed from the actual setups,
                 # not a cap heuristic — a cap of 4 at tile_h=8 is only
                 # 32 px and can legitimately bind).
+                # Resolve per-pipeline tuned defaults first: the caps the
+                # RENDER actually ran with are the resolved ones.
                 reasons = _overflow_reason(
-                    args[0], cfg, pipeline, *args[2:]
+                    args[0], cfg.resolve(pipeline), pipeline, *args[2:]
                 )
                 if not reasons:
                     print(f"FAIL spurious overflow (no reason found): {repro}")

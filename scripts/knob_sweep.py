@@ -38,58 +38,56 @@ def build_plan(RenderConfig):
     test there — swizzles the in-frame shadow-map copy, not a prepacked
     plane.  Earlier sweeps' variant lists live in git history.
     Module-level so tests can pin the label->knobs mirror in
-    scripts/live_window.py against the configs here."""
+    scripts/live_window.py against the configs here.
+
+    Every variant pins auto_tune=False: the sweep measures RAW knob
+    deltas against a raw baseline — with auto-tune on, the shadow "t0"
+    baseline would silently resolve to tex_tile=16 (the tuned default
+    this very sweep justified) and the deltas would stop meaning
+    anything."""
+    import functools
+
+    RenderConfig = functools.partial(RenderConfig, auto_tune=False)
     return [
+        # Round 4b: COMPOSITION of the round-4a singles (r4a full table in
+        # BASELINE.md "Round 4" + docs/live_window_r4.log).  r4a measured
+        # tex_tile=16 -0.288 ms and span 5x3/4x2 -0.206/-0.266 ms on the
+        # shadow headline as SINGLES; they act on different stages (shade
+        # gather locality vs binning sort elements) so the deltas should
+        # be additive — predicted t16+sp42 ~ 4.34 ms.  t0/t16/sp53 rerun
+        # as in-process anchors (cross-run drift is +-20%).
         ("shadow t0      ", RenderConfig(), "shadow", 0),
-        ("shadow t8      ", RenderConfig(tex_tile=8), "shadow", 8),
         ("shadow t16     ", RenderConfig(tex_tile=16), "shadow", 16),
-        ("shadow t32     ", RenderConfig(tex_tile=32), "shadow", 32),
-        ("shadow s16     ", RenderConfig(shadow_tile=16), "shadow", 0),
-        ("shadow t16+s16 ", RenderConfig(tex_tile=16, shadow_tile=16),
-         "shadow", 16),
-        # Span-grid shrink (see BASELINE.md round-3 span study): worst real
-        # spans at 800x800 over the FULL orbit parameterization are 4x2
-        # tiles (exhaustive 720-angle sweep, both passes, both assets), so
-        # 5x3 keeps a tile of margin and 4x2 is the measured floor.  The
-        # fitted binning law (1.82 ns x sort elements, 32 per triangle at
-        # the 8x4 default) predicts -0.31 ms (5x3) / -0.44 ms (4x2).
         ("shadow sp53    ", RenderConfig(max_span_y=5, max_span_x=3),
          "shadow", 0),
-        ("shadow sp42    ", RenderConfig(max_span_y=4, max_span_x=2),
-         "shadow", 0),
-        # SL=8: strip coverage waste 7.4% vs SL=16's 15.1% (5-angle CPU
-        # measurement, scripts/strip_waste.py) -> predicted -6.7% shade
-        # rows ~ -0.28 ms.
-        ("shadow SL8     ", RenderConfig(strip_len=8), "shadow", 0),
-        # Constant-fragments-per-batch controls: SL8 halves and SL4
-        # quarters the 8192 fragments a strip_batch=512 shade step
-        # processes, confounding waste savings with while_loop iteration
-        # count.  b1024/b2048 hold fragments/step at 8192 so the SL axis
-        # isolates coverage waste (scripts/strip_waste.py, 5 angles:
-        # SL16 +15.1% / SL8 +7.4% / SL4 +3.3%).
-        ("shadow SL8b1k  ", RenderConfig(strip_len=8, strip_batch=1024),
-         "shadow", 0),
-        ("shadow SL4b2k  ", RenderConfig(strip_len=4, strip_batch=2048),
-         "shadow", 0),
-        # Combined candidate: every open knob at its predicted-best value,
-        # measured in the same process as the singles.
-        ("shadow combo   ", RenderConfig(tex_tile=16, shadow_tile=16,
-                                         max_span_y=4, max_span_x=2,
-                                         strip_len=8), "shadow", 16),
-        ("specular t0    ", RenderConfig(), "specular", 0),
-        ("specular t16   ", RenderConfig(tex_tile=16), "specular", 16),
-        ("occlusion s0   ", RenderConfig(), "occlusion", 0),
-        ("occlusion s8   ", RenderConfig(shadow_tile=8), "occlusion", 0),
-        ("occlusion s16  ", RenderConfig(shadow_tile=16), "occlusion", 0),
-        ("occlusion s32  ", RenderConfig(shadow_tile=32), "occlusion", 0),
-        # Occlusion carries 17 gather rows per fragment, so the SL8 strip-
-        # waste cut (15.1% -> 7.4%) is worth ~7.8% of its ~18.8 ms gather
-        # floor ~ -1.5 ms — the largest single prediction in this sweep.
-        ("occlusion SL8  ", RenderConfig(strip_len=8), "occlusion", 0),
-        ("occlusion SL8b1k", RenderConfig(strip_len=8, strip_batch=1024),
+        ("shadow t16sp53 ", RenderConfig(tex_tile=16, max_span_y=5,
+                                         max_span_x=3), "shadow", 16),
+        ("shadow t16sp42 ", RenderConfig(tex_tile=16, max_span_y=4,
+                                         max_span_x=2), "shadow", 16),
+        # Span shrink acts on the pipeline-independent binning stage; if
+        # it replicates on phong the flip generalizes beyond shadow.
+        # tex_tile=16 on phong probes whether the texture-locality win
+        # extends to the 1-texture-gather pipelines (r4a: -0.29 shadow
+        # but +0.09 specular).
+        ("phong t0       ", RenderConfig(), "phong", 0),
+        ("phong t16      ", RenderConfig(tex_tile=16), "phong", 16),
+        ("phong sp53     ", RenderConfig(max_span_y=5, max_span_x=3),
+         "phong", 0),
+        # Occlusion: anchor at its r4a-flipped tuned default (SL8 b1024,
+        # 22.37 ms) and compose with the span shrink; SL4 b2048 (waste
+        # 3.3% vs SL8's 7.4% at constant 8192 fragments/step) was never
+        # measured on occlusion — its 17-row shade floor amortizes the
+        # extra while_loop iterations far better than shadow's 3 rows
+        # (where SL4b2k cost +2.7 ms).
+        ("occlusion b0   ", RenderConfig(strip_len=8, strip_batch=1024),
          "occlusion", 0),
-        ("occlusion combo", RenderConfig(strip_len=8, shadow_tile=16,
+        ("occlusion bsp53", RenderConfig(strip_len=8, strip_batch=1024,
+                                         max_span_y=5, max_span_x=3),
+         "occlusion", 0),
+        ("occlusion bsp42", RenderConfig(strip_len=8, strip_batch=1024,
                                          max_span_y=4, max_span_x=2),
+         "occlusion", 0),
+        ("occlusion SL4b2k", RenderConfig(strip_len=4, strip_batch=2048),
          "occlusion", 0),
     ]
 

@@ -60,19 +60,13 @@ def _step(name, argv, fn):
 # confirmation bench inside the SAME live window as the sweep that
 # justified it — the tunnel may be dead again before a second window.
 SHADOW_VARIANT_KNOBS = {
-    "shadow t0": [],
-    "shadow t8": ["tex_tile=8"],
-    "shadow t16": ["tex_tile=16"],
-    "shadow t32": ["tex_tile=32"],
-    "shadow s16": ["shadow_tile=16"],
-    "shadow t16+s16": ["tex_tile=16", "shadow_tile=16"],
-    "shadow sp53": ["max_span_y=5", "max_span_x=3"],
-    "shadow sp42": ["max_span_y=4", "max_span_x=2"],
-    "shadow SL8": ["strip_len=8"],
-    "shadow SL8b1k": ["strip_len=8", "strip_batch=1024"],
-    "shadow SL4b2k": ["strip_len=4", "strip_batch=2048"],
-    "shadow combo": ["tex_tile=16", "shadow_tile=16", "max_span_y=4",
-                     "max_span_x=2", "strip_len=8"],
+    "shadow t0": ["auto_tune=0"],
+    "shadow t16": ["auto_tune=0", "tex_tile=16"],
+    "shadow sp53": ["auto_tune=0", "max_span_y=5", "max_span_x=3"],
+    "shadow t16sp53": ["auto_tune=0", "tex_tile=16",
+                       "max_span_y=5", "max_span_x=3"],
+    "shadow t16sp42": ["auto_tune=0", "tex_tile=16",
+                       "max_span_y=4", "max_span_x=2"],
 }
 
 

@@ -48,9 +48,10 @@ def predictors(config, T, inc, cov_strips, pipeline="shadow"):
     return {
         # vertex: pure compute over (T,) arrays; no HBM term worth modeling.
         "vertex_T": T * passes,
-        # binning per frame: 32T-key sort (multi-pass; count raw elements),
-        # records (T, lanes) write, csr_tris (cap,) write.
-        "bin_sort_elems": 32 * T * passes,
+        # binning per frame: (span_y*span_x)T-key sort (multi-pass; count
+        # raw elements — 32/T/pass at the 8x4 class default, 8 at the
+        # round-4 tuned 4x2), records (T, lanes) write, csr_tris write.
+        "bin_sort_elems": config.max_span_y * config.max_span_x * T * passes,
         "bin_bytes": (T * lanes * 4 + cap * 4) * passes,
         # raster: records+tris DMA, target writes (pass1 z, pass2 idx),
         # grid steps, candidate evaluations.
@@ -138,6 +139,10 @@ def main():
         cfg = RenderConfig(width=size, height=size, strip_len=sl,
                            strip_batch=512 * 16 // sl)
         scene = Scene(models[asset], "shadow", cfg, backend="pallas")
+        # Scene resolves per-pipeline/resolution tuned defaults (round 4:
+        # tex_tile=16, span 4x2/5x3) — predictors must count the config
+        # the render actually ran with.
+        cfg = scene.config
         inc, cov = coverage_stats(scene)
         deltas, cumulative = stage_breakdown(scene, iters=24)
         T = models[asset].num_triangles

@@ -55,7 +55,18 @@ for attempt in 1 2 3 4 5 6 7; do
     prev_cpu=$cur_cpu
   done
   if [ $live -ge 1 ]; then
-    wait $PID; echo "[retry-wrapper] attempt $attempt finished rc=$?" >> "$LOG"; exit 0
+    wait $PID; rc=$?
+    # A quick silent exit is NOT success: after a kill -9 of a wedged
+    # attempt, the next axon init (within ~1-2 min) can exit(0) DURING
+    # plugin setup with zero output (observed 3x on 2026-08-19: rc=0,
+    # empty log, <60 s).  Only a log containing the TUNNEL-LIVE sentinel
+    # counts as having reached the device.
+    if grep -q TUNNEL-LIVE "$LOG"; then
+      echo "[retry-wrapper] attempt $attempt finished rc=$rc" >> "$LOG"; exit $rc
+    fi
+    echo "[retry-wrapper] attempt $attempt exited rc=$rc WITHOUT TUNNEL-LIVE; retrying after cooldown" >> "$LOG"
+    sleep 120
+    continue
   fi
   echo "[retry-wrapper] attempt $attempt wedged; killing tree of $PID" >> "$LOG"
   # Collect the whole descendant tree (BFS, by parent pid — never by

@@ -87,6 +87,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--interactive", action="store_true",
                     help="open an interactive viewer (requires a display)")
     ap.add_argument("--no-fps", action="store_true", help="disable the FPS printout")
+    ap.add_argument("--serial-present", action="store_true",
+                    help="interactive: present each frame after it renders "
+                         "(the reference's zero-latency contract, "
+                         "src/app.rs:213-218) instead of the default "
+                         "pipelined presentation (blit N-1 while N renders; "
+                         "one frame of latency, DESIGN.md divergence #11)")
     ap.add_argument("--timing", action="store_true",
                     help="print a per-frame wall-time summary and a "
                          "per-stage device-time breakdown at exit")
@@ -332,16 +338,21 @@ def run_interactive(scene: Scene, args, viewer=None, clock=time.monotonic) -> np
         scene.set_camera(look_from, look_at, up)
         scene.set_light_direction(light)
         out = scene.render()  # async dispatch of frame N
-        if prev_dev is None:
-            prev_dev = out["frame"]  # startup: present the first frame
-        # Pipelined presentation: blit frame N-1 while N renders — the
-        # device->host fetch overlaps the next frame's compute (measured
-        # 113 -> 85 ms/frame on the dev tunnel, scripts/blit_probe.py).
-        # One frame of display latency vs the reference (DESIGN.md
-        # divergence #11); input handling cadence is unchanged.
-        frame = fetch(prev_dev)[::-1]
-        viewer.show(frame)
-        prev_dev = out["frame"]
+        if getattr(args, "serial_present", False):
+            # Reference contract: present frame N itself (src/app.rs:213-218).
+            frame = fetch(out["frame"])[::-1]
+            viewer.show(frame)
+        else:
+            if prev_dev is None:
+                prev_dev = out["frame"]  # startup: present the first frame
+            # Pipelined presentation: blit frame N-1 while N renders — the
+            # device->host fetch overlaps the next frame's compute (measured
+            # 113 -> 85 ms/frame on the dev tunnel, scripts/blit_probe.py).
+            # One frame of display latency vs the reference (DESIGN.md
+            # divergence #11); input handling cadence is unchanged.
+            frame = fetch(prev_dev)[::-1]
+            viewer.show(frame)
+            prev_dev = out["frame"]
         fps.tick()
         frame_time = clock() - t0
     # The loop presents N-1 while N renders, so on exit the final frame

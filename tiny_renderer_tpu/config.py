@@ -206,6 +206,14 @@ class RenderConfig:
     camera_speed: float = 3.0
     light_speed: float = 3.0
 
+    # Apply hardware-measured per-pipeline tuned defaults at render entry
+    # (resolve_for_pipeline): a tuning group is applied only when EVERY
+    # field in it still sits at its class default, so explicit non-default
+    # settings always win.  Set False for raw-knob experiments (sweeps
+    # measuring single-knob deltas must not have the shadow baseline
+    # silently become tex_tile=16).
+    auto_tune: bool = True
+
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
             raise ValueError(f"invalid frame size {self.width}x{self.height}")
@@ -235,6 +243,10 @@ class RenderConfig:
                     f"{knob} must be 0 or a power of two, got {v}"
                 )
 
+    def resolve(self, pipeline: str) -> "RenderConfig":
+        """Alias for resolve_for_pipeline(self, pipeline)."""
+        return resolve_for_pipeline(self, pipeline)
+
     @property
     def padded_width(self) -> int:
         return -(-self.width // self.tile_w) * self.tile_w
@@ -254,3 +266,83 @@ class RenderConfig:
     @property
     def num_tiles(self) -> int:
         return self.tiles_x * self.tiles_y
+
+
+# Per-pipeline tuned defaults, each an atomic group, measured on hardware
+# by the round-4 interleaved knob sweep (BASELINE.md "Round 4"; protocol:
+# median of 4 interleaved reps, 5 marginals each, parity-guarded):
+#
+# * shadow tex_tile=16: -0.29 ms headline (4.890 -> 4.602) — the texture
+#   word is 1 of the pipeline's ~3 gather rows/fragment and the swizzle
+#   halves its unique-512B-segment count.  NOT applied globally: the same
+#   knob measured +0.09 ms on specular (2.726 -> 2.812), whose three
+#   texture-class fetches see more index-arithmetic cost than locality
+#   gain on this chip.
+# * occlusion strip_len=8 + strip_batch=1024 (constant 8192 fragments per
+#   shade step): -0.45 ms (22.823 -> 22.372) — SL8's 7.4% strip waste vs
+#   SL16's 15.1% cuts the 17-probe loop's wasted fragments.  NOT applied
+#   to shadow: plain SL8 and SL8b1k both measured ~+0.53 there (the
+#   1-3-gather pipelines lose more to extra loop iterations than waste
+#   saves).  shadow_tile measured negative everywhere (s16 +0.06 shadow,
+#   +0.1 occlusion) and stays a knob.
+PIPELINE_TUNED_DEFAULTS: dict = {
+    "shadow": {"tex_tile": 16},
+    # r4b: phong t16 median 2.835 vs t0 3.097 (-0.26; rep0 was a +0.15
+    # excursion, reps 1-3 all won).  specular measured +0.09 in r4a and
+    # default/normal_map/darboux are unmeasured on this axis — only the
+    # measured winners flip.
+    "phong": {"tex_tile": 16},
+    "occlusion": {"strip_len": 8, "strip_batch": 1024},
+}
+
+# Resolution-conditional span-grid tuned defaults (PIPELINE-INDEPENDENT —
+# the span caps size the binning stage's candidate grid, which every
+# pipeline shares).  The 8x4 class default allows a 128x512 px bbox; the
+# worst REAL spans under the app's full orbit parameterization are far
+# smaller (exhaustive 720-angle sweep over both passes and both reference
+# assets at the DEFAULT projection, BASELINE.md round-3 span study):
+# 4x2 tiles at <=800px, 5x3 at <=1200.  The round-4b hardware sweep
+# measured the shrink -0.27 ms (4x2) / -0.21 ms (5x3) on the shadow
+# headline and -0.17 ms (5x3) on phong — the fitted binning law
+# (1.82 ns x sort elements) at ~2/3 magnitude.  Applied only while
+# max_span_y, max_span_x AND projection_coef all sit at class defaults
+# (the measured envelope assumed the default projection; a custom
+# projection changes bbox sizes, so it opts out).  Scenes that exceed
+# the caps keep the existing contract: deterministic flagged drop
+# (Scene.overflowed) — same as with the 8x4 default, which a
+# screen-filling triangle already exceeds.
+SPAN_TUNED_BY_RESOLUTION: tuple = (
+    (800, {"max_span_y": 4, "max_span_x": 2}),
+    (1200, {"max_span_y": 5, "max_span_x": 3}),
+)
+
+
+def resolve_for_pipeline(config: RenderConfig, pipeline: str) -> RenderConfig:
+    """Apply PIPELINE_TUNED_DEFAULTS for `pipeline` to fields still at
+    their class defaults.  Idempotent; no-op when config.auto_tune is
+    False, when the pipeline has no tuning, or when ANY field of the
+    group was set explicitly (groups are atomic — e.g. occlusion's
+    strip_len/strip_batch pair preserves the fragments-per-step product).
+
+    Called at every render entry point (Scene, make_frame_fn /
+    make_burst_fn, render_frame, the sharded paths, the oracle) so any
+    route to a kernel sees the same resolved config.
+    """
+    if not config.auto_tune:
+        return config
+    defaults = {f.name: f.default for f in dataclasses.fields(RenderConfig)}
+
+    def apply(cfg, group):
+        if not group or any(getattr(cfg, k) != defaults[k] for k in group):
+            return cfg
+        return dataclasses.replace(cfg, **group)
+
+    config = apply(config, PIPELINE_TUNED_DEFAULTS.get(pipeline))
+    # Span-grid shrink: resolution-conditional and pipeline-independent;
+    # only at the default projection (see SPAN_TUNED_BY_RESOLUTION).
+    if config.projection_coef == defaults["projection_coef"]:
+        for bound, group in SPAN_TUNED_BY_RESOLUTION:
+            if max(config.width, config.height) <= bound:
+                config = apply(config, group)
+                break
+    return config

@@ -116,6 +116,7 @@ def _gather_fragments_np(setup, idx, keys):
 
 def render_oracle(geom, textures, light_direction, look_from, look_at, up, *, pipeline, config):
     """Render one frame with the oracle. Same outputs as render_frame."""
+    config = config.resolve(pipeline)
     spec = PIPELINES[pipeline]
     H, W = config.height, config.width
     light_direction = np.asarray(light_direction, np.float32)

@@ -350,6 +350,7 @@ def render_frame_sharded(
     camera pass's z target entirely (returned "z" is None) — the kernel
     backends then never write it to HBM, matching the single-device path.
     """
+    config = config.resolve(pipeline)
     n_rows = mesh.shape["rows"]
     if config.height % n_rows != 0:
         raise ValueError(f"height {config.height} not divisible by rows axis {n_rows}")
@@ -398,6 +399,7 @@ def render_batch_sharded(
     per-frame (B,) overflow flag (same contract as render_frame).
     needs_z=False (the burst/animation posture) skips the z targets.
     """
+    config = config.resolve(pipeline)
     n_batch = mesh.shape["batch"]
     n_rows = mesh.shape["rows"]
     B = light_directions.shape[0]
@@ -493,6 +495,7 @@ def render_sequence_pipelined(
     assumed (no z targets).  Returns {"frame": (B, H, W, 3),
     "overflow": (B,)}.
     """
+    config = config.resolve(pipeline)
     spec = PIPELINES[pipeline]
     if not spec.two_pass:
         raise ValueError(

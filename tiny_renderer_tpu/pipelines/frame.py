@@ -468,6 +468,7 @@ def render_frame(
     write when the caller only consumes the frame (e.g. burst rendering);
     the returned "z" is then None.
     """
+    config = config.resolve(pipeline)
     spec = PIPELINES[pipeline]
     vspec = VARYING_SPECS[pipeline]
     H, W = config.height, config.width
@@ -803,8 +804,11 @@ def make_frame_fn(pipeline, config, backend="auto"):
     """Returns fn(geom, textures, light_direction, look_from, look_at, up)."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    # Resolve per-pipeline tuned defaults HERE so the jit cache keys on
+    # the resolved config (render_frame's own resolve is then a no-op).
     return functools.partial(
-        render_frame_jit, pipeline=pipeline, config=config, backend=backend
+        render_frame_jit, pipeline=pipeline, config=config.resolve(pipeline),
+        backend=backend
     )
 
 
@@ -858,7 +862,7 @@ def make_burst_fn(pipeline, config, backend="auto", keep_frames=False):
     return functools.partial(
         render_burst,
         pipeline=pipeline,
-        config=config,
+        config=config.resolve(pipeline),
         backend=backend,
         keep_frames=keep_frames,
     )

@@ -36,7 +36,10 @@ class Scene:
                 f"Provided pipeline name is not supported! ({pipeline_name!r}; "
                 f"expected one of {sorted(PIPELINES)})"
             )
-        self.config = config or RenderConfig()
+        # Per-pipeline tuned defaults (config.resolve_for_pipeline):
+        # the stored config is the RESOLVED one so the texture prepack,
+        # frame fn and debug views all agree on layouts.
+        self.config = (config or RenderConfig()).resolve(pipeline_name)
         self.pipeline_name = pipeline_name
         self.backend = backend
         self.model = model
