@@ -23,118 +23,130 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def build_plan(RenderConfig):
-    """The sweep plan: (label, config, pack pipeline, pack tile).
+    """The sweep plan: (label, config, pipeline, pack tile, asset).
 
-    Current sweep: tex_tile (tile-swizzled packed texture plane — a pure
-    permutation targeting the shade's gather-locality gap: diablo's
-    effective cost was fitted at 9.9 ns/row vs the microprobe's 7.3,
-    the difference being index scatter), shadow_tile, the span-grid
-    shrink, and the strip_len axis with constant-fragments controls.
-    Texture-sampling pipelines only for tex_tile (z-plane gathers are
-    unaffected).  Packs are built lazily from the (pipeline, tile) pairs
-    so only planes a variant uses get packed and uploaded (multi-MB —
-    transfer is the tunnel bottleneck).  Occlusion samples no texture
-    maps (its "pack" is the raw dict), and shadow_tile — the knob under
-    test there — swizzles the in-frame shadow-map copy, not a prepacked
-    plane.  Earlier sweeps' variant lists live in git history.
-    Module-level so tests can pin the label->knobs mirror in
-    scripts/live_window.py against the configs here.
+    The label's first token must be the pipeline name (the harness keys
+    parity goldens on (pipeline, asset)).  Packs are built lazily from
+    the (pipeline, tile, asset) triples so only planes a variant uses get
+    packed and uploaded (multi-MB — transfer is the tunnel bottleneck).
+    Earlier sweeps' variant lists live in git history; results in
+    BASELINE.md "Round 4"/"Round 4b"/"Round 4c" and config.py comments.
 
     Every variant pins auto_tune=False: the sweep measures RAW knob
-    deltas against a raw baseline — with auto-tune on, the shadow "t0"
-    baseline would silently resolve to tex_tile=16 (the tuned default
-    this very sweep justified) and the deltas would stop meaning
-    anything."""
+    deltas against a raw baseline — with auto-tune on, baselines would
+    silently resolve to the tuned defaults earlier sweeps justified and
+    the deltas would stop meaning anything.
+
+    VARIANT_KNOBS below must mirror this plan (tests pin it): the
+    flipped-config confirmation benches run with --knob overrides, not
+    the sweep's RenderConfig objects, so a drift between the two would
+    bench a config the sweep never measured."""
     import functools
 
     RenderConfig = functools.partial(RenderConfig, auto_tune=False)
     return [
-        # Round 4b: COMPOSITION of the round-4a singles (r4a full table in
-        # BASELINE.md "Round 4" + docs/live_window_r4.log).  r4a measured
-        # tex_tile=16 -0.288 ms and span 5x3/4x2 -0.206/-0.266 ms on the
-        # shadow headline as SINGLES; they act on different stages (shade
-        # gather locality vs binning sort elements) so the deltas should
-        # be additive — predicted t16+sp42 ~ 4.34 ms.  t0/t16/sp53 rerun
-        # as in-process anchors (cross-run drift is +-20%).
-        ("shadow t0      ", RenderConfig(), "shadow", 0),
-        ("shadow t16     ", RenderConfig(tex_tile=16), "shadow", 16),
-        ("shadow sp53    ", RenderConfig(max_span_y=5, max_span_x=3),
-         "shadow", 0),
-        ("shadow t16sp53 ", RenderConfig(tex_tile=16, max_span_y=5,
-                                         max_span_x=3), "shadow", 16),
-        ("shadow t16sp42 ", RenderConfig(tex_tile=16, max_span_y=4,
-                                         max_span_x=2), "shadow", 16),
-        # Span shrink acts on the pipeline-independent binning stage; if
-        # it replicates on phong the flip generalizes beyond shadow.
-        # tex_tile=16 on phong probes whether the texture-locality win
-        # extends to the 1-texture-gather pipelines (r4a: -0.29 shadow
-        # but +0.09 specular).
-        ("phong t0       ", RenderConfig(), "phong", 0),
-        ("phong t16      ", RenderConfig(tex_tile=16), "phong", 16),
-        ("phong sp53     ", RenderConfig(max_span_y=5, max_span_x=3),
-         "phong", 0),
-        # Occlusion: anchor at its r4a-flipped tuned default (SL8 b1024,
-        # 22.37 ms) and compose with the span shrink; SL4 b2048 (waste
-        # 3.3% vs SL8's 7.4% at constant 8192 fragments/step) was never
-        # measured on occlusion — its 17-row shade floor amortizes the
-        # extra while_loop iterations far better than shadow's 3 rows
-        # (where SL4b2k cost +2.7 ms).
-        ("occlusion b0   ", RenderConfig(strip_len=8, strip_batch=1024),
-         "occlusion", 0),
-        ("occlusion bsp53", RenderConfig(strip_len=8, strip_batch=1024,
-                                         max_span_y=5, max_span_x=3),
-         "occlusion", 0),
-        ("occlusion bsp42", RenderConfig(strip_len=8, strip_batch=1024,
-                                         max_span_y=4, max_span_x=2),
-         "occlusion", 0),
-        ("occlusion SL4b2k", RenderConfig(strip_len=4, strip_batch=2048),
-         "occlusion", 0),
+        # Round 4c: tex_tile=16 for the pipelines the r4a/r4b sweeps left
+        # unmeasured on this axis (r4a: -0.29 shadow, +0.09 specular;
+        # r4b: -0.26 phong — the sign flips per pipeline, so each needs
+        # its own measurement before its tuned default can flip).
+        # default samples ONE texture map like phong (expected win on
+        # diablo's scattered uv atlas); normal_map samples two and
+        # darboux two (specular's three lost — the swizzle index
+        # arithmetic at fetch time scales with the fetch count while the
+        # locality gain depends on the stream's distance above the
+        # ~7.3 ns/row floor).  default is ALSO measured on african_head —
+        # the official bench's default-pipeline asset — whose effective
+        # gather rate (7.6 ns/row) sits at the floor, so the win may not
+        # replicate there; the tuned default only flips if the bench
+        # asset wins too.
+        ("default d0    ", RenderConfig(), "default", 0, "diablo"),
+        ("default d16   ", RenderConfig(tex_tile=16), "default", 16, "diablo"),
+        ("default h0    ", RenderConfig(), "default", 0, "african_head"),
+        ("default h16   ", RenderConfig(tex_tile=16), "default", 16,
+         "african_head"),
+        ("normal_map n0 ", RenderConfig(), "normal_map", 0, "diablo"),
+        ("normal_map n16", RenderConfig(tex_tile=16), "normal_map", 16,
+         "diablo"),
+        ("darboux x0    ", RenderConfig(), "darboux", 0, "diablo"),
+        ("darboux x16   ", RenderConfig(tex_tile=16), "darboux", 16,
+         "diablo"),
     ]
 
 
+# Variant label -> the --knob overrides that reproduce its config (the
+# flipped-config confirmation benches run with knobs; tests pin this
+# mirror against build_plan).
+VARIANT_KNOBS = {
+    "default d0": ["auto_tune=0"],
+    "default d16": ["auto_tune=0", "tex_tile=16"],
+    "default h0": ["auto_tune=0"],
+    "default h16": ["auto_tune=0", "tex_tile=16"],
+    "normal_map n0": ["auto_tune=0"],
+    "normal_map n16": ["auto_tune=0", "tex_tile=16"],
+    "darboux x0": ["auto_tune=0"],
+    "darboux x16": ["auto_tune=0", "tex_tile=16"],
+}
+
+
 def main():
+    import argparse
+    import dataclasses
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--cpu-smoke", action="store_true",
+        help="validate the whole plan/pack/parity flow on the CPU backend "
+             "(interpret kernel, small frames, 1 rep) — run this BEFORE "
+             "spending a live tunnel window on a new plan",
+    )
+    args, _ = ap.parse_known_args()
+
     import jax
+
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from tiny_renderer_tpu import RenderConfig, load_model
     from tiny_renderer_tpu.pipelines.frame import make_burst_fn, prepack_textures
 
+    backend = "pallas_interpret" if args.cpu_smoke else "pallas"
+
     np.asarray(jnp.ones((8, 128)) * 2)
     print("TUNNEL-LIVE", flush=True)
 
-    model = load_model("/root/reference/assets/diablo", verbose=False)
-    geom = {
-        "positions": model.mesh.positions,
-        "tex_coords": model.mesh.tex_coords,
-        "normals": model.mesh.normals,
-        "pos_idx": model.mesh.pos_idx,
-        "tex_idx": model.mesh.tex_idx,
-        "normal_idx": model.mesh.normal_idx,
-    }
-    tex = {
-        "texture": model.texture,
-        "normal_map": model.normal_map,
-        "normal_map_tangent": model.normal_map_tangent,
-        "specular_map": model.specular_map,
-    }
-    gj = {k: jnp.asarray(v) for k, v in geom.items()}
-    tj = {k: jnp.asarray(v) for k, v in tex.items()}
-    tj = prepack_textures(tj, "shadow")
+    def load_raw(asset):
+        model = load_model(f"/root/reference/assets/{asset}", verbose=False)
+        geom = {
+            "positions": model.mesh.positions,
+            "tex_coords": model.mesh.tex_coords,
+            "normals": model.mesh.normals,
+            "pos_idx": model.mesh.pos_idx,
+            "tex_idx": model.mesh.tex_idx,
+            "normal_idx": model.mesh.normal_idx,
+        }
+        tex = {
+            "texture": model.texture,
+            "normal_map": model.normal_map,
+            "normal_map_tangent": model.normal_map_tangent,
+            "specular_map": model.specular_map,
+        }
+        return {k: jnp.asarray(v) for k, v in geom.items()}, tex
 
-    n = 72
+    n = 16 if args.cpu_smoke else 72
     rng = np.random.default_rng()
 
-    def measure(cfg, pipeline="shadow", geom=None, inner=5, tex=None):
+    def measure(cfg, pipeline, geom, tex, inner=1 if args.cpu_smoke else 5):
         """Median of `inner` long-vs-short burst marginals (n=72 vs 8).
         Longer bursts + median (not min) suppress both the tunnel-RTT
         jitter and the sporadic fast/slow chip excursions that made
         best-of-3 at n=40 swing +-0.5 ms rep to rep."""
-        g = gj if geom is None else geom
-        tjx = tj if tex is None else tex
+        g, tjx = geom, tex
         base = float(rng.uniform(0, 1e-2))
         cam = (0.37 + base + 1e-4 * np.arange(n)).astype(np.float32)
         lig = (-0.6 + base + 1e-4 * np.arange(n)).astype(np.float32)
-        burst = make_burst_fn(pipeline, cfg, backend="pallas")
+        burst = make_burst_fn(pipeline, cfg, backend=backend)
 
         def run(c, l):
             out = burst(g, tjx, jnp.asarray(c), jnp.asarray(l))
@@ -162,7 +174,7 @@ def main():
 
         cam = (0.9 + 0.05 * np.arange(8)).astype(np.float32)
         lig = (-1.3 + 0.05 * np.arange(8)).astype(np.float32)
-        burst = make_burst_fn(pipeline, cfg, backend="pallas",
+        burst = make_burst_fn(pipeline, cfg, backend=backend,
                               keep_frames=True)
         out = burst(geom, tex, jnp.asarray(cam), jnp.asarray(lig))
         return hashlib.sha256(np.asarray(out["frames"]).tobytes()).hexdigest()
@@ -179,23 +191,38 @@ def main():
     )
     from tiny_renderer_tpu.ops.vertex import expand_geometry
 
-    gx = expand_geometry(gj)
     plan = build_plan(RenderConfig)
-    packs = {}
-    for _, _, p, t in plan:
-        if (p, t) not in packs:
-            packs[p, t] = prepack_textures(
-                {k: jnp.asarray(v) for k, v in tex.items()}, p, tile=t
+    if args.cpu_smoke:
+        # Small frames: the interpret-mode kernel at 800x800 x 8 variants
+        # would take tens of minutes; 128x128 exercises the identical
+        # plan/pack/golden flow.
+        plan = [
+            (name, dataclasses.replace(cfg, width=128, height=128), p, t, a)
+            for name, cfg, p, t, a in plan
+        ]
+    geoms, raw_tex, packs = {}, {}, {}
+    for _, _, p, t, asset in plan:
+        if asset not in geoms:
+            gj, raw = load_raw(asset)
+            geoms[asset] = expand_geometry(gj)
+            raw_tex[asset] = raw
+        if (p, t, asset) not in packs:
+            packs[p, t, asset] = prepack_textures(
+                {k: jnp.asarray(v) for k, v in raw_tex[asset].items()},
+                p, tile=t,
             )
-    variants = [(name, cfg, gx, packs[p, t]) for name, cfg, p, t in plan]
-    results = {name: [] for name, _, _, _ in variants}
+    variants = [
+        (name, cfg, geoms[asset], packs[p, t, asset], asset)
+        for name, cfg, p, t, asset in plan
+    ]
+    results = {name: [] for name, _, _, _, _ in variants}
     golden, bad = {}, set()
-    for rep in range(4):
-        for name, cfg, g, tx in variants:
+    for rep in range(1 if args.cpu_smoke else 4):
+        for name, cfg, g, tx, asset in variants:
             pipe = name.split()[0]
             if rep == 0:
                 cs = checksum8(cfg, pipe, g, tx)
-                if golden.setdefault(pipe, cs) != cs:
+                if golden.setdefault((pipe, asset), cs) != cs:
                     bad.add(name)
                     print(f"parity {name} MISMATCH — EXCLUDED from timing",
                           flush=True)
@@ -203,7 +230,7 @@ def main():
                     print(f"parity {name} OK", flush=True)
             if name in bad:
                 continue
-            ms = measure(cfg, pipeline=pipe, geom=g, tex=tx)
+            ms = measure(cfg, pipe, g, tx)
             results[name].append(ms)
             print(f"rep{rep} {name} {ms:7.3f} ms/frame", flush=True)
     print("--- medians over reps ---", flush=True)

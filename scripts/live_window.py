@@ -3,17 +3,21 @@
 The dev tunnel has DEAD phases where every fresh JAX process wedges at
 its first device op (see CLAUDE.md); a live window must therefore be
 spent in as FEW processes as possible.  This runs the whole pending
-on-hardware queue in ONE process — one init, one wedge risk:
+on-hardware queue in ONE process — one init, one wedge risk.
 
-    1. knob sweep             (scripts/knob_sweep.py — the open experiment)
-    2. parity smoke x2 assets (scripts/tpu_smoke.py — re-certification)
-    3. official bench         (bench.py --all)
-    4. flipped-config bench   (headline with the sweep's winning knobs,
-                               only when a parity-clean variant beat the
-                               default by >0.1 ms — the defaults-flip
-                               confirmation number)
-    5. blit probe             (scripts/blit_probe.py — re-measure the
-                               bimodal device->host transfer regime)
+Round-4c queue (the r4a/r4b queue that ran 2026-08-19 09:48-10:31 lives
+in git history and docs/live_window_r4.log):
+
+    1. scaling model rerun    (scripts/scaling_model.py at the round-4
+                               tuned defaults -> docs/scaling_r4_data.jsonl;
+                               fit with scripts/scaling_fit.py — VERDICT r3 #2)
+    2. knob sweep             (scripts/knob_sweep.py — tex_tile for the
+                               pipelines r4a/r4b left unmeasured)
+    3. interactive bench      (scripts/interactive_bench.py — the REAL
+                               run_interactive loop over the in-repo X11
+                               wire server, pipelined vs serial — VERDICT r3 #4)
+    4. parity smoke x2 assets (scripts/tpu_smoke.py — re-certification)
+    5. official bench         (bench.py --all)
 
 Each step's outcome is printed as a `[live-window] <step> rc=<n>` line;
 a failing step never blocks the next (the certification matters even if
@@ -28,7 +32,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+SCALING_OUT = os.path.join(REPO, "docs", "scaling_r4_data.jsonl")
 
 
 def _step(name, argv, fn):
@@ -55,21 +62,6 @@ def _step(name, argv, fn):
     return rc, ret
 
 
-# Sweep-variant label -> the --knob overrides that reproduce it (must
-# mirror scripts/knob_sweep.py's plan).  Used to run the flipped-config
-# confirmation bench inside the SAME live window as the sweep that
-# justified it — the tunnel may be dead again before a second window.
-SHADOW_VARIANT_KNOBS = {
-    "shadow t0": ["auto_tune=0"],
-    "shadow t16": ["auto_tune=0", "tex_tile=16"],
-    "shadow sp53": ["auto_tune=0", "max_span_y=5", "max_span_x=3"],
-    "shadow t16sp53": ["auto_tune=0", "tex_tile=16",
-                       "max_span_y=5", "max_span_x=3"],
-    "shadow t16sp42": ["auto_tune=0", "tex_tile=16",
-                       "max_span_y=4", "max_span_x=2"],
-}
-
-
 def main():
     # One trivial device op up front: the supervisor's liveness sentinel.
     import jax.numpy as jnp
@@ -84,14 +76,34 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import bench
-    import blit_probe
+    import interactive_bench
     import knob_sweep
+    import scaling_model
     import tpu_smoke
 
     rcs = {}
+    # Fresh data file per window: scaling_model --out appends, and a
+    # retried window must not leave duplicate lines for the fit.
+    open(SCALING_OUT, "w").close()
+    rcs["scaling"], _ = _step(
+        "scaling_model", ["scaling_model.py", "--out", SCALING_OUT],
+        scaling_model.main,
+    )
     rc, sweep_ret = _step("knob_sweep", ["knob_sweep.py"], knob_sweep.main)
     medians, bad = sweep_ret if sweep_ret else ({}, set())
     rcs["sweep"] = rc if rc else (1 if bad else 0)
+    for base, tuned in [("default d0", "default d16"),
+                        ("default h0", "default h16"),
+                        ("normal_map n0", "normal_map n16"),
+                        ("darboux x0", "darboux x16")]:
+        if base in medians and tuned in medians:
+            d = medians[tuned] - medians[base]
+            print(f"[live-window] {tuned} vs {base}: {d:+.3f} ms "
+                  f"({medians[base]:.3f} -> {medians[tuned]:.3f})",
+                  flush=True)
+    rcs["interactive"], _ = _step(
+        "interactive_bench", ["interactive_bench.py"], interactive_bench.main
+    )
     rcs["smoke_head"], _ = _step(
         "tpu_smoke african_head", ["tpu_smoke.py"], tpu_smoke.main
     )
@@ -103,29 +115,6 @@ def main():
     rcs["bench"], _ = _step(
         "bench --all", ["bench.py", "--all", "--frames", "64"], bench.main
     )
-    # Flipped-config confirmation: if the sweep measured a parity-clean
-    # shadow variant beating the default config by >0.1 ms, bench the
-    # headline with exactly those knobs — the number that decides the
-    # config.py defaults flip.
-    shadow = {k: v for k, v in medians.items()
-              if k in SHADOW_VARIANT_KNOBS and k not in bad}
-    if shadow.get("shadow t0") is not None:
-        best = min(shadow, key=shadow.get)
-        gain = shadow["shadow t0"] - shadow[best]
-        print(f"[live-window] sweep best: {best} ({shadow[best]:.3f} ms, "
-              f"-{gain:.3f} vs t0)", flush=True)
-        if best != "shadow t0" and gain > 0.1:
-            knobs = SHADOW_VARIANT_KNOBS[best]
-            argv = ["bench.py", "--frames", "64"]
-            for k in knobs:
-                argv += ["--knob", k]
-            rcs["bench_flipped"], _ = _step(
-                f"bench flipped ({' '.join(knobs)})", argv, bench.main
-            )
-    # Blit-regime re-probe, last (CLAUDE.md: the device->host transfer
-    # regime FLIPS between tunnel states; utils/transfer.fetch's default
-    # was set from the round-3 probe — re-measure in this window).
-    rcs["blit_probe"], _ = _step("blit_probe", ["blit_probe.py"], blit_probe.main)
     print(f"[live-window] done: {rcs}", flush=True)
     sys.exit(max(rcs.values()))
 

@@ -109,11 +109,21 @@ def coverage_stats(scene):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from tiny_renderer_tpu import RenderConfig, Scene, load_model
     from tiny_renderer_tpu.pipelines.profile import stage_breakdown
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--out", default=None,
+        help="also append each config's JSON line to this file (e.g. "
+             "docs/scaling_r4_data.jsonl for scripts/scaling_fit.py)",
+    )
+    args, _ = ap.parse_known_args()
 
     np.asarray(jnp.ones((8, 128)) * 2)
     print("TUNNEL-LIVE", flush=True)
@@ -151,7 +161,11 @@ def main():
             "deltas_ms": {k: round(v, 4) for k, v in deltas.items()},
             "pred": predictors(cfg, T, inc, cov),
         }
-        print(json.dumps(rec), flush=True)
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
     print("PROBE-DONE", flush=True)
 
 

@@ -57,22 +57,28 @@ def _load_script(name):
     return mod
 
 
-def test_live_window_knobs_mirror_sweep_plan():
-    """live_window.SHADOW_VARIANT_KNOBS must reproduce knob_sweep's shadow
-    variant configs exactly — the flipped-config confirmation bench runs
-    with the knobs, not the sweep's RenderConfig objects, so a drift
-    between the two files would bench a config the sweep never measured."""
+def test_variant_knobs_mirror_sweep_plan():
+    """knob_sweep.VARIANT_KNOBS must reproduce the sweep plan's configs
+    exactly — flipped-config confirmation benches run with --knob
+    overrides, not the sweep's RenderConfig objects, so a drift between
+    the table and the plan would bench a config the sweep never measured.
+    Also pins the plan invariants the harness relies on: the label's
+    first token is the pipeline name, every variant pins auto_tune off
+    (raw-vs-raw deltas), and each (pipeline, asset) group's FIRST entry
+    is its parity-golden anchor."""
     from tiny_renderer_tpu import RenderConfig
     from tiny_renderer_tpu.app import apply_knobs
+    from tiny_renderer_tpu.pipelines.frame import PIPELINES
 
     ks = _load_script("knob_sweep.py")
-    lw = _load_script("live_window.py")
-    shadow = [(name.strip(), cfg)
-              for name, cfg, _, _ in ks.build_plan(RenderConfig)
-              if name.startswith("shadow")]
-    assert {n for n, _ in shadow} == set(lw.SHADOW_VARIANT_KNOBS)
-    for name, cfg in shadow:
-        assert apply_knobs(RenderConfig(), lw.SHADOW_VARIANT_KNOBS[name]) == cfg, name
+    plan = [(name.strip(), cfg, pipe, asset)
+            for name, cfg, pipe, _, asset in ks.build_plan(RenderConfig)]
+    assert {n for n, _, _, _ in plan} == set(ks.VARIANT_KNOBS)
+    for name, cfg, pipe, asset in plan:
+        assert apply_knobs(RenderConfig(), ks.VARIANT_KNOBS[name]) == cfg, name
+        assert name.split()[0] == pipe and pipe in PIPELINES, name
+        assert cfg.auto_tune is False, name
+        assert asset in ("diablo", "african_head"), name
 
 
 def test_watchdog_failure_payload_carries_last_good(tmp_path):
