@@ -23,12 +23,12 @@ def test_tuned_defaults_per_pipeline():
     assert (r.tex_tile, r.strip_len, r.strip_batch) == (16, 16, 512)
     r = resolve_for_pipeline(c, "occlusion")
     assert (r.tex_tile, r.strip_len, r.strip_batch) == (0, 8, 1024)
-    # phong: r4b measured tex_tile=16 -0.26 ms -> tuned.
-    assert resolve_for_pipeline(c, "phong").tex_tile == 16
-    # specular measured +0.09 (r4a); default/normal_map/darboux are
-    # unmeasured on this axis — unmeasured knobs never flip.
-    for p in ("default", "normal_map", "specular", "darboux"):
-        assert resolve_for_pipeline(c, p).tex_tile == 0
+    # r4b/r4c measured tex_tile=16 wins: phong -0.26, default -0.29/-0.46
+    # (diablo/head), normal_map -0.12, darboux -0.14.
+    for p in ("phong", "default", "normal_map", "darboux"):
+        assert resolve_for_pipeline(c, p).tex_tile == 16
+    # specular measured +0.09 (r4a) — the one negative; never flips.
+    assert resolve_for_pipeline(c, "specular").tex_tile == 0
 
 
 def test_span_tuning_by_resolution():
@@ -117,6 +117,7 @@ def test_autotuned_render_bit_identical_to_explicit_knobs(head_scene_data, camer
 
     for pipeline, explicit in [
         ("shadow", {"tex_tile": 16}),
+        ("default", {"tex_tile": 16}),  # r4c flip
         ("occlusion", {"strip_len": 8, "strip_batch": 1024}),
     ]:
         base = RenderConfig(width=64, height=64, tile_h=8)

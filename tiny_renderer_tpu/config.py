@@ -288,10 +288,17 @@ class RenderConfig:
 PIPELINE_TUNED_DEFAULTS: dict = {
     "shadow": {"tex_tile": 16},
     # r4b: phong t16 median 2.835 vs t0 3.097 (-0.26; rep0 was a +0.15
-    # excursion, reps 1-3 all won).  specular measured +0.09 in r4a and
-    # default/normal_map/darboux are unmeasured on this axis — only the
-    # measured winners flip.
+    # excursion, reps 1-3 all won).
     "phong": {"tex_tile": 16},
+    # r4c per-pipeline sweep (median of 4 interleaved reps, both assets
+    # for default): default -0.29 diablo / -0.46 head, normal_map -0.12,
+    # darboux -0.14 — every rep won on every one (no excursions).
+    # specular stays unflipped: the only measured NEGATIVE (+0.09, r4a);
+    # its three texture-class fetches pay more index arithmetic than the
+    # locality saves on this chip.
+    "default": {"tex_tile": 16},
+    "normal_map": {"tex_tile": 16},
+    "darboux": {"tex_tile": 16},
     "occlusion": {"strip_len": 8, "strip_batch": 1024},
 }
 
