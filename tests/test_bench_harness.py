@@ -5,9 +5,12 @@ regression here would poison the perf record (BASELINE.md)."""
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+@pytest.mark.slow  # runs the real burst-marginal probe loops (~25 s CPU)
 def test_chip_health_probe_sane():
     import bench
 

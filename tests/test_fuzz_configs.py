@@ -76,7 +76,11 @@ def _random_config(rng, width, height):
     return RenderConfig(**knobs)
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("seed", [
+    11,
+    pytest.param(12, marks=pytest.mark.slow),
+    pytest.param(13, marks=pytest.mark.slow),
+])
 def test_fuzz_random_knobs(seed):
     """Random knob COMPOSITIONS on random scenes/poses must stay oracle-
     exact through the kernel path — the fixed-combo matrix
@@ -124,7 +128,11 @@ def test_fuzz_random_knobs(seed):
     assert mismatch <= 0.01, f"mismatch {mismatch:.3%} under {cfg}"
 
 
-@pytest.mark.parametrize("seed", [21, 22, 23])
+@pytest.mark.parametrize("seed", [
+    21,
+    pytest.param(22, marks=pytest.mark.slow),
+    pytest.param(23, marks=pytest.mark.slow),
+])
 def test_fuzz_sharded_random_pose(seed, eight_devices):
     """Random poses + jnp-path knob draws through the row-sharded path must
     stay BIT-identical to single-device — per-shard binning windows, strip

@@ -45,6 +45,7 @@ def test_dryrun_multichip_standalone(n):
     assert "dryrun_multichip OK" in proc.stdout
 
 
+@pytest.mark.slow  # subprocess fallback path; standalone[8] is the fast rep
 def test_dryrun_multichip_after_backend_init():
     """jax already initialized with 1 device: must fall back to subprocess."""
     proc = _run_clean(

@@ -23,6 +23,11 @@ BASE = RenderConfig(width=64, height=64, strip_batch=32, tile_h=8)
 
 # (name, knob overrides) — rendered with needs_z=False so fuse_passes can
 # engage where its gate allows.
+# Fast set: every knob appears at least once (singles for the layout
+# knobs, all-on for the deepest composition); the remaining pairwise
+# compositions exercise the same gates and run in -m slow.
+_SLOW = {"fuse+planes", "i16+planes", "sl32", "sl4", "t16", "swz16",
+         "swz16+planes", "swz8+fullplane", "sswz16+swz16"}
 COMBOS = [
     ("fuse", dict(fuse_passes=True)),
     ("mask+planes", dict(strip_mask=True, strip_planes=True)),
@@ -44,6 +49,11 @@ COMBOS = [
                     idx_int16=True, csr_indirect=False, tile_h=16,
                     tex_tile=16, shadow_tile=16)),
 ]
+COMBOS = [
+    pytest.param(n, k, id=n,
+                 marks=pytest.mark.slow if n in _SLOW else ())
+    for n, k in COMBOS
+]
 
 
 @pytest.fixture(scope="module")
@@ -61,7 +71,7 @@ def baseline(scene, camera):
     return np.asarray(out["frame"])
 
 
-@pytest.mark.parametrize("name,knobs", COMBOS, ids=[n for n, _ in COMBOS])
+@pytest.mark.parametrize("name,knobs", COMBOS)
 def test_knob_combo_bit_identical(scene, camera, baseline, name, knobs):
     geom, tex = scene
     cfg = dataclasses.replace(BASE, **knobs)

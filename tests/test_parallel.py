@@ -35,7 +35,13 @@ def _args(scene_data, camera):
     )
 
 
-@pytest.mark.parametrize("pipeline", ["phong", "shadow", "darboux", "occlusion"])
+# Fast set keeps one single-pass (phong) + one two-pass (shadow) rep;
+# darboux/occlusion exercise the same sharded path and run in -m slow.
+@pytest.mark.parametrize("pipeline", [
+    "phong", "shadow",
+    pytest.param("darboux", marks=pytest.mark.slow),
+    pytest.param("occlusion", marks=pytest.mark.slow),
+])
 def test_row_sharded_matches_single_device(head_scene_data, camera, pipeline, eight_devices):
     cfg = RenderConfig(width=96, height=96, tri_block=32)
     mesh = make_row_mesh(eight_devices, batch=1)
@@ -51,8 +57,11 @@ def test_row_sharded_matches_single_device(head_scene_data, camera, pipeline, ei
 
 
 @pytest.mark.parametrize("pipeline,backend",
-                         [("shadow", "jnp"), ("occlusion", "jnp"),
-                          ("shadow", "pallas_interpret")])
+                         [("shadow", "jnp"),
+                          pytest.param("occlusion", "jnp",
+                                       marks=pytest.mark.slow),
+                          pytest.param("shadow", "pallas_interpret",
+                                       marks=pytest.mark.slow)])
 def test_replicate_pass1_bit_identical(head_scene_data, camera, pipeline,
                                        backend, eight_devices):
     """replicate_pass1 swaps the shadow map's all_gather for full-height
@@ -104,6 +113,7 @@ def test_batch_sharded_2d_mesh(head_scene_data, camera, eight_devices):
         np.testing.assert_array_equal(frames[b], np.asarray(single["frame"]))
 
 
+@pytest.mark.slow  # same entry as test_graft_entry's fast standalone[8] run
 def test_dryrun_multichip_entrypoint(eight_devices):
     import importlib.util, os
 
@@ -247,8 +257,13 @@ def test_batch_sharded_needs_z_false(head_scene_data, camera, eight_devices):
     np.testing.assert_array_equal(np.asarray(out["frame"]), np.asarray(ref["frame"]))
 
 
-@pytest.mark.parametrize("backend", ["jnp", "pallas_interpret"])
-@pytest.mark.parametrize("pipeline", ["phong", "shadow"])
+# Fast reps cover both backends with one pipeline each; the mirrored
+# pair runs in -m slow.
+@pytest.mark.parametrize("pipeline,backend", [
+    ("phong", "jnp"), ("shadow", "pallas_interpret"),
+    pytest.param("shadow", "jnp", marks=pytest.mark.slow),
+    pytest.param("phong", "pallas_interpret", marks=pytest.mark.slow),
+])
 def test_triangle_sharded_vertex_bit_identical(
     head_scene_data, camera, pipeline, backend, eight_devices
 ):

@@ -116,6 +116,7 @@ def test_shadow_buffer_parity(head_scene_data, camera):
     np.testing.assert_allclose(o["shadow"], r["shadow"], rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.slow  # construction-time-expansion contract; interpret-heavy
 def test_pre_expanded_geometry_identical(head_scene_data, camera):
     """expand_geometry (Scene's one-time attribute pre-gather) must not
     change any output bit — it only hoists frame-invariant gathers."""
@@ -158,7 +159,9 @@ def test_layout_knobs_bit_identical(head_scene_data, camera, knob):
     np.testing.assert_array_equal(frames[False], frames[True])
 
 
-@pytest.mark.parametrize("pipeline", ["shadow", "occlusion"])
+@pytest.mark.parametrize("pipeline", [
+    "shadow", pytest.param("occlusion", marks=pytest.mark.slow),
+])
 def test_fused_raster_bit_identical(head_scene_data, camera, pipeline):
     """fuse_passes (both depth loops in one pallas_call) is pure
     scheduling: frame and shadow map must be bit-identical to the
@@ -211,6 +214,7 @@ def test_dedup_gather_exact():
         np.testing.assert_array_equal(got, expect)
 
 
+@pytest.mark.slow  # dedup is a measured-negative knob (BASELINE round 3)
 def test_occlusion_dedup_bit_identical(head_scene_data, camera):
     """occlusion_dedup collapses duplicate fetches of equal values — the
     frame must be bit-identical with the knob flipped."""
@@ -258,8 +262,13 @@ def _strip_args(head_scene_data, camera):
     )
 
 
+# Fast reps: default (1 varying plane) + shadow (two-pass, most varyings);
+# the other four exercise the same compaction path and run in -m slow.
 @pytest.mark.parametrize(
-    "pipeline", ["default", "phong", "normal_map", "specular", "darboux", "shadow"]
+    "pipeline", ["default", "shadow"] + [
+        pytest.param(p, marks=pytest.mark.slow)
+        for p in ["phong", "normal_map", "specular", "darboux"]
+    ]
 )
 def test_compact_shade_matches_planes(head_scene_data, camera, pipeline):
     """Compacted shading vs the varying-plane shade on the same kernel
@@ -321,7 +330,10 @@ def test_strip_shade_within_tie_flip_budget_of_jnp(head_scene_data, camera, pipe
     assert mismatch <= MISMATCH_BUDGET, f"{pipeline}: mismatch {mismatch:.4%}"
 
 
-@pytest.mark.parametrize("pipeline", ["shadow", "phong"])
+@pytest.mark.parametrize("pipeline", [
+    "phong",  # fast rep: single-pass covers every writeback/idx variant
+    pytest.param("shadow", marks=pytest.mark.slow),  # two-pass mirror
+])
 def test_writeback_and_idx_dtype_variants_identical(head_scene_data, camera, pipeline):
     """The i16 index target and the direct-u8 strip writeback are pure
     layout changes: frames must be bit-identical to the i32/word-packed

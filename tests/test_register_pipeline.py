@@ -97,7 +97,11 @@ def _render(pipeline, scene, camera, backend, **cfg_kw):
     return np.asarray(out["frame"])
 
 
-@pytest.mark.parametrize("pipe_fixture", ["toon", "fog"])
+# fog is the fast rep (more varyings + texture fetch); toon mirrors the
+# same registry path and runs in -m slow.
+@pytest.mark.parametrize("pipe_fixture", [
+    pytest.param("toon", marks=pytest.mark.slow), "fog",
+])
 def test_custom_pipeline_backends_and_oracle(pipe_fixture, scene, camera,
                                              request):
     pipeline = request.getfixturevalue(pipe_fixture)
@@ -261,7 +265,9 @@ def eight_devices():
     return devs[:8]
 
 
-@pytest.mark.parametrize("pipe_fixture", ["toon", "fog"])
+@pytest.mark.parametrize("pipe_fixture", [
+    pytest.param("toon", marks=pytest.mark.slow), "fog",
+])
 def test_custom_pipeline_sharded(pipe_fixture, scene, camera, eight_devices,
                                  request):
     """Row-sharded rendering of a REGISTERED pipeline is bit-identical to

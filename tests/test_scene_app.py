@@ -154,6 +154,7 @@ def test_stage_breakdown(head_model, capsys):
     assert deltas["full"] > -deltas["raster"]  # cumulative ordering sanity
 
 
+@pytest.mark.slow  # kernel-path compile of every stage prefix (~1 min)
 def test_stage_breakdown_pallas_interpret(head_model):
     """The binning/raster prefixes must also compile on the kernel path."""
     from tiny_renderer_tpu import RenderConfig, Scene

@@ -66,6 +66,7 @@ def test_subdivided_render_matches_original_silhouette(head_model, camera):
     assert (cov0 != cov1).mean() < 0.01
 
 
+@pytest.mark.slow  # 40k-triangle interpret-mode run (~25 s)
 @pytest.mark.parametrize("backend", ["pallas_interpret"])
 def test_stress_40k_triangles_backends_agree(big_scene, camera, backend):
     """39,872 triangles through the full pipeline: kernel backend agrees

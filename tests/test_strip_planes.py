@@ -64,7 +64,8 @@ def test_planes_spec_gating(scene):
     ]
 
 
-def test_strip_planes_sharded_bit_identical(scene, camera):
+@pytest.mark.slow  # strip_planes is a measured-negative knob; single-device
+def test_strip_planes_sharded_bit_identical(scene, camera):  # rep stays fast
     """The sharded slab shade honors strip_planes (parallel/sharding.py
     mirrors frame.render_frame's strategy) and stays bit-identical to the
     attribute-gather sharded render."""

@@ -342,6 +342,7 @@ class TestOverflowFlags:
         _, _, _, overflow = jax.jit(lambda s: bin_triangles(s, cfg))(s)
         assert bool(overflow)
 
+    @pytest.mark.slow  # interpret-mode sweep over span-cap grids (~35 s)
     def test_span_caps_output_invariant_when_not_clamping(self):
         """Tightening max_span_y/x is a pure sort-grid shrink: as long as no
         triangle's real span exceeds the caps (overflow False), the frame is
