@@ -45,31 +45,23 @@ def build_plan(RenderConfig):
 
     RenderConfig = functools.partial(RenderConfig, auto_tune=False)
     return [
-        # Round 4c: tex_tile=16 for the pipelines the r4a/r4b sweeps left
-        # unmeasured on this axis (r4a: -0.29 shadow, +0.09 specular;
-        # r4b: -0.26 phong — the sign flips per pipeline, so each needs
-        # its own measurement before its tuned default can flip).
-        # default samples ONE texture map like phong (expected win on
-        # diablo's scattered uv atlas); normal_map samples two and
-        # darboux two (specular's three lost — the swizzle index
-        # arithmetic at fetch time scales with the fetch count while the
-        # locality gain depends on the stream's distance above the
-        # ~7.3 ns/row floor).  default is ALSO measured on african_head —
-        # the official bench's default-pipeline asset — whose effective
-        # gather rate (7.6 ns/row) sits at the floor, so the win may not
-        # replicate there; the tuned default only flips if the bench
-        # asset wins too.
-        ("default d0    ", RenderConfig(), "default", 0, "diablo"),
-        ("default d16   ", RenderConfig(tex_tile=16), "default", 16, "diablo"),
-        ("default h0    ", RenderConfig(), "default", 0, "african_head"),
-        ("default h16   ", RenderConfig(tex_tile=16), "default", 16,
-         "african_head"),
-        ("normal_map n0 ", RenderConfig(), "normal_map", 0, "diablo"),
-        ("normal_map n16", RenderConfig(tex_tile=16), "normal_map", 16,
+        # Round 4d: the tile_h axis's unmeasured end.  The round-3 sweep
+        # measured 8 -> 16 -> 32 at 5.448 -> 5.066 -> 4.899 (the ~1 us/
+        # grid-step output-DMA cost dominates, so fewer/taller tiles win)
+        # and stopped at 32; the diminishing trend (-0.38, -0.17) leaves
+        # 48/64 plausibly worth another ~0.05-0.1 ms before per-candidate
+        # VPU waste (each CSR candidate rasterizes the whole tile) turns
+        # it around, as it did widthwise at (32, 256).  Composed with
+        # tex_tile=16 because that is the shipped shadow config — a
+        # raw-only win that vanishes under the tuned default must not
+        # flip (different bottleneck mix).
+        ("shadow s32    ", RenderConfig(), "shadow", 0, "diablo"),
+        ("shadow s48    ", RenderConfig(tile_h=48), "shadow", 0, "diablo"),
+        ("shadow s64    ", RenderConfig(tile_h=64), "shadow", 0, "diablo"),
+        ("shadow s32+t16", RenderConfig(tex_tile=16), "shadow", 16,
          "diablo"),
-        ("darboux x0    ", RenderConfig(), "darboux", 0, "diablo"),
-        ("darboux x16   ", RenderConfig(tex_tile=16), "darboux", 16,
-         "diablo"),
+        ("shadow s64+t16", RenderConfig(tile_h=64, tex_tile=16), "shadow",
+         16, "diablo"),
     ]
 
 
@@ -77,14 +69,11 @@ def build_plan(RenderConfig):
 # flipped-config confirmation benches run with knobs; tests pin this
 # mirror against build_plan).
 VARIANT_KNOBS = {
-    "default d0": ["auto_tune=0"],
-    "default d16": ["auto_tune=0", "tex_tile=16"],
-    "default h0": ["auto_tune=0"],
-    "default h16": ["auto_tune=0", "tex_tile=16"],
-    "normal_map n0": ["auto_tune=0"],
-    "normal_map n16": ["auto_tune=0", "tex_tile=16"],
-    "darboux x0": ["auto_tune=0"],
-    "darboux x16": ["auto_tune=0", "tex_tile=16"],
+    "shadow s32": ["auto_tune=0"],
+    "shadow s48": ["auto_tune=0", "tile_h=48"],
+    "shadow s64": ["auto_tune=0", "tile_h=64"],
+    "shadow s32+t16": ["auto_tune=0", "tex_tile=16"],
+    "shadow s64+t16": ["auto_tune=0", "tile_h=64", "tex_tile=16"],
 }
 
 

@@ -5,23 +5,19 @@ its first device op (see CLAUDE.md); a live window must therefore be
 spent in as FEW processes as possible.  This runs the whole pending
 on-hardware queue in ONE process — one init, one wedge risk.
 
-Round-4c queue (the r4a/r4b queue that ran 2026-08-19 09:48-10:31 lives
-in git history and docs/live_window_r4.log):
+Round-4d queue (earlier queues live in git history and
+docs/live_window_r4.log / docs/live_window_r4c.log):
 
-    1. scaling model rerun    (scripts/scaling_model.py at the round-4
-                               tuned defaults -> docs/scaling_r4_data.jsonl;
-                               fit with scripts/scaling_fit.py — VERDICT r3 #2)
-    2. knob sweep             (scripts/knob_sweep.py — tex_tile for the
-                               pipelines r4a/r4b left unmeasured)
-    3. interactive bench      (scripts/interactive_bench.py — the REAL
-                               run_interactive loop over the in-repo X11
-                               wire server, pipelined vs serial — VERDICT r3 #4)
-    4. parity smoke x2 assets (scripts/tpu_smoke.py — re-certification)
-    5. official bench         (bench.py --all)
+    1. knob sweep       (scripts/knob_sweep.py — tile_h 48/64, the one
+                         axis whose round-3 trend was still improving at
+                         its measured end, raw and composed with the
+                         shipped tex_tile=16)
+    2. official bench   (bench.py --all at the round-4 flipped defaults:
+                         the first official numbers with tex_tile=16 on
+                         default/normal_map/darboux)
 
 Each step's outcome is printed as a `[live-window] <step> rc=<n>` line;
-a failing step never blocks the next (the certification matters even if
-a sweep variant trips its parity guard).
+a failing step never blocks the next.
 
 Usage: /tmp/one_attempt.sh /tmp/live_window.log python scripts/live_window.py
 """
@@ -34,8 +30,6 @@ import time
 
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 sys.path.insert(0, REPO)
-
-SCALING_OUT = os.path.join(REPO, "docs", "scaling_r4_data.jsonl")
 
 
 def _step(name, argv, fn):
@@ -76,42 +70,20 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import bench
-    import interactive_bench
     import knob_sweep
-    import scaling_model
-    import tpu_smoke
 
     rcs = {}
-    # Fresh data file per window: scaling_model --out appends, and a
-    # retried window must not leave duplicate lines for the fit.
-    open(SCALING_OUT, "w").close()
-    rcs["scaling"], _ = _step(
-        "scaling_model", ["scaling_model.py", "--out", SCALING_OUT],
-        scaling_model.main,
-    )
     rc, sweep_ret = _step("knob_sweep", ["knob_sweep.py"], knob_sweep.main)
     medians, bad = sweep_ret if sweep_ret else ({}, set())
     rcs["sweep"] = rc if rc else (1 if bad else 0)
-    for base, tuned in [("default d0", "default d16"),
-                        ("default h0", "default h16"),
-                        ("normal_map n0", "normal_map n16"),
-                        ("darboux x0", "darboux x16")]:
-        if base in medians and tuned in medians:
-            d = medians[tuned] - medians[base]
-            print(f"[live-window] {tuned} vs {base}: {d:+.3f} ms "
-                  f"({medians[base]:.3f} -> {medians[tuned]:.3f})",
+    for base, var in [("shadow s32", "shadow s48"),
+                      ("shadow s32", "shadow s64"),
+                      ("shadow s32+t16", "shadow s64+t16")]:
+        if base in medians and var in medians:
+            d = medians[var] - medians[base]
+            print(f"[live-window] {var} vs {base}: {d:+.3f} ms "
+                  f"({medians[base]:.3f} -> {medians[var]:.3f})",
                   flush=True)
-    rcs["interactive"], _ = _step(
-        "interactive_bench", ["interactive_bench.py"], interactive_bench.main
-    )
-    rcs["smoke_head"], _ = _step(
-        "tpu_smoke african_head", ["tpu_smoke.py"], tpu_smoke.main
-    )
-    rcs["smoke_diablo"], _ = _step(
-        "tpu_smoke diablo",
-        ["tpu_smoke.py", "--asset", "/root/reference/assets/diablo"],
-        tpu_smoke.main,
-    )
     rcs["bench"], _ = _step(
         "bench --all", ["bench.py", "--all", "--frames", "64"], bench.main
     )
