@@ -53,7 +53,10 @@ class RenderConfig:
     # interleaved reps): tile_h 32 4.899 ms, 16 5.066, 8 5.448 — the
     # ~1 us/grid-step fixed cost dominates, so fewer/taller tiles win;
     # (32, 256) gives the step count back to wasted per-candidate VPU
-    # width (5.054) and 16x256 sits between (5.006).
+    # width (5.054) and 16x256 sits between (5.006).  Round-4d closed the
+    # taller direction: tile_h 48 +0.03, 64 +0.13 ms vs 32 (and 64+t16
+    # +0.12 vs 32+t16) — per-tile candidate lists grow superlinearly past
+    # 32 rows, so 32 is the measured optimum (docs/live_window_r4d.log).
     tile_h: int = 32
     tile_w: int = 128
     # Compact real incidences before the binning sort (T-sized per-
