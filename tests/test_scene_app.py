@@ -284,3 +284,43 @@ def test_downsample_box_units():
     assert downsample_box(img, 2)[0, 0, 0] == 1  # (3 + 2) // 4
     with pytest.raises(ValueError):
         downsample_box(np.zeros((3, 4, 3), np.uint8), 2)
+
+
+class TestOverflowWarning:
+    """Coverage-cap truncation warns once at presentation time.
+
+    The auto-tuned span caps (config.resolve_for_pipeline) are sized for
+    the reference orbit envelope; a custom scene can exceed them without
+    ever polling Scene.overflowed — get_frame_buffer/render_sequence are
+    the fetch points where the flag is already on the host for free."""
+
+    def test_warns_once_on_overflow(self, head_model):
+        import warnings as w
+
+        cfg = RenderConfig(width=96, height=96, tile_h=8, max_incidences=64)
+        scene = Scene(head_model, "default", cfg, backend="pallas_interpret")
+        scene.render()
+        with pytest.warns(RuntimeWarning, match="coverage cap"):
+            scene.get_frame_buffer()
+        scene.render()
+        with w.catch_warnings():
+            w.simplefilter("error")  # a second warning would raise
+            scene.get_frame_buffer()
+
+    def test_no_warning_without_overflow(self, head_model):
+        import warnings as w
+
+        cfg = RenderConfig(width=96, height=96, tri_block=32)
+        scene = Scene(head_model, "default", cfg, backend="jnp")
+        scene.render()
+        with w.catch_warnings():
+            w.simplefilter("error")
+            scene.get_frame_buffer()
+
+    def test_sequence_warns_and_carries_overflow(self, head_model):
+        cfg = RenderConfig(width=96, height=96, tile_h=8, max_incidences=64)
+        scene = Scene(head_model, "default", cfg, backend="pallas_interpret")
+        angles = np.linspace(0.0, 0.4, 3, dtype=np.float32)
+        with pytest.warns(RuntimeWarning, match="coverage cap"):
+            frames = scene.render_sequence(angles, -angles)
+        assert frames.shape == (3, 96, 96, 3)

@@ -827,8 +827,8 @@ def render_burst(
     latency amortizes to zero; this is both the serving-throughput bench path
     and the batch-animation API.
 
-    Returns dict with per-frame u32 checksums (always) and, if keep_frames,
-    the stacked (N, H, W, 3) frames.
+    Returns dict with per-frame u32 checksums and (N,) overflow flags
+    (always) and, if keep_frames, the stacked (N, H, W, 3) frames.
     """
     look_at = jnp.zeros((3,), jnp.float32)
     up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
@@ -843,13 +843,15 @@ def render_burst(
             needs_z=False,  # bursts consume frames/checksums only
         )
         checksum = jnp.sum(out["frame"].astype(jnp.uint32))
-        y = (checksum, out["frame"]) if keep_frames else (checksum,)
+        y = (checksum, out["overflow"])
+        if keep_frames:
+            y = y + (out["frame"],)
         return 0, y
 
     _, ys = jax.lax.scan(body, 0, (camera_angles, light_angles))
-    result = {"checksums": ys[0]}
+    result = {"checksums": ys[0], "overflow": ys[1]}
     if keep_frames:
-        result["frames"] = ys[1]
+        result["frames"] = ys[2]
     return result
 
 

@@ -11,6 +11,8 @@ frame function; the getters fetch and convert exactly like the reference
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -80,6 +82,7 @@ class Scene:
         self._look_at = np.array([0.0, 0.0, 0.0], np.float32)
         self._up = np.array([0.0, 1.0, 0.0], np.float32)
         self._out = None
+        self._overflow_warned = False
 
     # -- reference API ------------------------------------------------------
 
@@ -129,6 +132,7 @@ class Scene:
             jnp.asarray(np.asarray(camera_angles, np.float32)),
             jnp.asarray(np.asarray(light_angles, np.float32)),
         )
+        self._warn_if_overflowed(out["overflow"])
         return fetch(out["frames"])[:, ::-1]
 
     @property
@@ -143,7 +147,29 @@ class Scene:
         """(H, W, 3) u8, vertically flipped so row 0 is the top of the world
         — matching the reference's presentation flip (scene.rs:92-97)."""
         out = self._require_render()
+        self._warn_if_overflowed(out["overflow"])
         return fetch(out["frame"])[::-1]
+
+    def _warn_if_overflowed(self, overflow) -> None:
+        """One-time warning at presentation points (where a host fetch is
+        already being paid — render() itself stays sync-free): the binning
+        coverage caps truncate coverage deterministically, and the
+        auto-tuned span caps (config.resolve_for_pipeline) are sized for
+        the reference orbit envelope — a custom scene with larger
+        screen-space triangles can exceed them without ever polling
+        `overflowed`."""
+        if self._overflow_warned:
+            return
+        if bool(np.asarray(overflow).any()):
+            self._overflow_warned = True
+            warnings.warn(
+                "render hit a binning coverage cap (coverage was truncated "
+                "deterministically): raise RenderConfig.max_span_y/max_span_x "
+                "(or max_incidences if set), or pass auto_tune=False to keep "
+                "the wider class-default span grid",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     def get_z_buffer(self) -> np.ndarray:
         """Grayscale u8 debug view of the z-buffer (scene.rs:101-111)."""
