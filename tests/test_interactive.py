@@ -243,3 +243,23 @@ def test_input_state_unit():
     assert not s.exit
     s.on_press("escape")
     assert s.exit
+
+
+def test_serial_present_shows_current_frame(small_scene):
+    """--serial-present (DESIGN.md divergence #11 opt-out) restores the
+    reference's zero-latency contract (src/app.rs:213-218): every shown
+    frame is THIS iteration's render, so there is no startup duplicate
+    and the returned frame equals the last shown one."""
+    import types as _types
+
+    args = _types.SimpleNamespace(
+        camera_angle=0.0, light_angle=0.0, no_fps=True, serial_present=True
+    )
+    viewer = FakeViewer({0: [("press", "d")], 3: [("press", "escape")]})
+    frame = run_interactive(small_scene, args, viewer=viewer, clock=FakeClock())
+    assert viewer.frames_shown == 4
+    # Camera moved while 'd' was held -> iteration 1's render differs from
+    # iteration 0's, and serial presentation shows it immediately (the
+    # pipelined mode re-shows frame 0 here — see the test above).
+    assert (viewer.shown[1] != viewer.shown[0]).any()
+    np.testing.assert_array_equal(frame, viewer.shown[-1])
