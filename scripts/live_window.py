@@ -5,21 +5,23 @@ its first device op (see CLAUDE.md); a live window must therefore be
 spent in as FEW processes as possible.  This runs the whole pending
 on-hardware queue in ONE process — one init, one wedge risk.
 
-Round-4d queue (earlier queues live in git history and
-docs/live_window_r4.log / docs/live_window_r4c.log):
+Round-4e queue (earlier queues live in git history and
+docs/live_window_r4.log / _r4c.log / _r4d.log):
 
-    1. knob sweep       (scripts/knob_sweep.py — tile_h 48/64, the one
-                         axis whose round-3 trend was still improving at
-                         its measured end, raw and composed with the
-                         shipped tex_tile=16)
-    2. official bench   (bench.py --all at the round-4 flipped defaults:
-                         the first official numbers with tex_tile=16 on
-                         default/normal_map/darboux)
+    1. app drive        (the verify recipe's real-TPU leg: diablo shadow,
+                         10 orbit frames, PNG saved for visual check)
+    2. app save-seq     (render_sequence burst with keep_frames — first
+                         hardware run of the burst's new per-frame
+                         overflow output, af3bec7)
+    3. tpu_smoke x2     (parity certification on both assets — expected
+                         IDENTICAL mismatch fractions: nothing this round
+                         changes a pixel)
+    4. official bench   (bench.py --all on the shipped code)
 
 Each step's outcome is printed as a `[live-window] <step> rc=<n>` line;
 a failing step never blocks the next.
 
-Usage: /tmp/one_attempt.sh /tmp/live_window.log python scripts/live_window.py
+Usage: scripts/one_attempt.sh /tmp/live_window_r4e.log python scripts/live_window.py
 """
 
 from __future__ import annotations
@@ -70,20 +72,28 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import bench
-    import knob_sweep
+    import tpu_smoke
+    from tiny_renderer_tpu.app import main as app_main
 
     rcs = {}
-    rc, sweep_ret = _step("knob_sweep", ["knob_sweep.py"], knob_sweep.main)
-    medians, bad = sweep_ret if sweep_ret else ({}, set())
-    rcs["sweep"] = rc if rc else (1 if bad else 0)
-    for base, var in [("shadow s32", "shadow s48"),
-                      ("shadow s32", "shadow s64"),
-                      ("shadow s32+t16", "shadow s64+t16")]:
-        if base in medians and var in medians:
-            d = medians[var] - medians[base]
-            print(f"[live-window] {var} vs {base}: {d:+.3f} ms "
-                  f"({medians[base]:.3f} -> {medians[var]:.3f})",
-                  flush=True)
+    rcs["drive"], _ = _step(
+        "app drive",
+        ["app", "-p", "/root/reference/assets/diablo", "-s", "shadow",
+         "--frames", "10", "--orbit", "--save", "/tmp/verify_r4e_tpu.png"],
+        lambda: app_main(sys.argv[1:]),
+    )
+    rcs["seq"], _ = _step(
+        "app save-seq (burst overflow output)",
+        ["app", "-p", "/root/reference/assets/diablo", "-s", "shadow",
+         "--frames", "6", "--save-seq", "/tmp/r4e_seq"],
+        lambda: app_main(sys.argv[1:]),
+    )
+    for asset in ("diablo", "african_head"):
+        rcs[f"smoke {asset}"], _ = _step(
+            f"tpu_smoke {asset}",
+            ["tpu_smoke.py", "--asset", f"/root/reference/assets/{asset}"],
+            tpu_smoke.main,
+        )
     rcs["bench"], _ = _step(
         "bench --all", ["bench.py", "--all", "--frames", "64"], bench.main
     )
