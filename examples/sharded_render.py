@@ -13,6 +13,8 @@ Run:  python examples/sharded_render.py [asset_dir] [out.png] [--replicate-pass1
         (--pipelined: a 3-frame orbit through render_sequence_pipelined —
          two-pass pipeline parallelism on a ("stage", "rows") mesh; writes
          out.png per frame with a -N suffix)
+      --size N renders NxN instead of the reference's 800x800 (the frame
+      height must stay divisible by the mesh's row axis).
 """
 
 from __future__ import annotations
@@ -48,14 +50,19 @@ def main():
         render_frame_sharded,
     )
 
-    argv = [a for a in sys.argv[1:]
-            if a not in ("--replicate-pass1", "--pipelined")]
+    argv = list(sys.argv[1:])
+    size = 800
+    if "--size" in argv:
+        i = argv.index("--size")
+        size = int(argv[i + 1])
+        del argv[i:i + 2]
     # --replicate-pass1: full-height per-device light pass instead of the
     # all_gather'ed shadow map (the ICI-vs-FLOPs knob; output identical).
-    replicate = "--replicate-pass1" in sys.argv[1:]
+    replicate = "--replicate-pass1" in argv
     # --pipelined: render a short orbit through the two-pass pipeline-
     # parallel path (("stage", "rows") mesh, ppermute shadow handoff).
-    pipelined = "--pipelined" in sys.argv[1:]
+    pipelined = "--pipelined" in argv
+    argv = [a for a in argv if a not in ("--replicate-pass1", "--pipelined")]
     asset = argv[0] if len(argv) > 0 else "/root/reference/assets/diablo"
     out = argv[1] if len(argv) > 1 else "/tmp/sharded.png"
 
@@ -88,7 +95,7 @@ def main():
 
         mesh = make_pp_mesh(jax.devices()[:N_DEVICES])
         print(f"pp mesh: {dict(mesh.shape)} over {N_DEVICES} devices")
-        cfg = RenderConfig(width=800, height=800)
+        cfg = RenderConfig(width=size, height=size)
         B = 3
         angles = np.linspace(0.0, 0.9, B, dtype=np.float32)
         lights = jnp.asarray(np.stack(
@@ -111,7 +118,7 @@ def main():
 
     mesh = make_row_mesh(jax.devices()[:N_DEVICES], batch=1)
     print(f"mesh: {dict(mesh.shape)} over {N_DEVICES} devices")
-    cfg = RenderConfig(width=800, height=800, replicate_pass1=replicate)
+    cfg = RenderConfig(width=size, height=size, replicate_pass1=replicate)
     result = render_frame_sharded(
         geom, tex,
         jnp.asarray([0.35, 0.0, 0.94], jnp.float32),   # light
