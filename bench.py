@@ -58,6 +58,33 @@ def watchdog_failure_payload(path=None):
         **({"last_good": last_good} if last_good else {}),
     }
 
+# Cross-run drift floor (VERDICT r4 #7): single runs of the SAME binary
+# drift ~±20% with chip state (BASELINE.md rounds 2-4; A/B decisions
+# therefore only ever come from interleaved same-process sweeps).  Any
+# official config that moved more than this vs the last healthy-phase run
+# is flagged in the JSON line itself, so one artifact is readable without
+# cross-referencing sweep logs.
+DRIFT_FLOOR = 0.20
+
+
+def drift_vs_last_good(config_ms, last_good, floor=DRIFT_FLOOR):
+    """Per-config drift records for entries exceeding the floor, or {}.
+
+    `config_ms` maps "asset:pipeline" -> measured ms; `last_good` is the
+    cached .bench_last_good.json payload (or None)."""
+    if not last_good or not isinstance(last_good.get("configs"), dict):
+        return {}
+    drift = {}
+    for key, ms in sorted(config_ms.items()):
+        old = last_good["configs"].get(key)
+        if old:
+            rel = (ms - old) / old
+            if abs(rel) > floor:
+                drift[key] = {"ms": ms, "last_good_ms": old,
+                              "delta_pct": round(100 * rel, 1)}
+    return drift
+
+
 CONFIGS = [
     ("african_head", "default", False),
     ("diablo", "phong", False),
@@ -369,14 +396,26 @@ def main():
         results[-1],
     )
     payload = headline_payload(headline, health, args.knob)
-    if health["gather_ns_per_row"] > 8.5:
+    last_good = None
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            last_good = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if health["gather_ns_per_row"] > 8.5 and last_good:
         # Degraded chip phase (the bimodal ~27x-slower state): attach the
         # last healthy-phase measurement so the number is self-interpreting.
-        try:
-            with open(_LAST_GOOD_PATH) as f:
-                payload["last_good"] = json.load(f)
-        except (OSError, ValueError):
-            pass
+        payload["last_good"] = last_good
+
+    config_ms = {f"{r['asset']}:{r['pipeline']}": round(r["ms_per_frame"], 4)
+                 for r in results}
+    drift = drift_vs_last_good(config_ms, last_good)
+    if drift:
+        payload["drift_exceeds_floor"] = drift
+        payload["drift_note"] = (
+            "delta vs last healthy run exceeds the ±20% cross-run "
+            "chip-state drift floor (BASELINE.md); treat as chip state, "
+            "not code, unless an interleaved A/B confirms")
     print(json.dumps(payload))
     if (not args.knob and args.size == 800
             and health["gather_ns_per_row"] <= 8.5):
@@ -384,10 +423,17 @@ def main():
         # last_good record (best effort — a read-only tree is fine).
         # Gated on a healthy gather probe so a degraded-phase run (the
         # ~27x-slower chip state) never replaces a certified number.
+        # Per-config ms values merge over runs (a shadow-only run must not
+        # erase the --all rows) and feed the drift flagging above.
+        merged = dict(last_good.get("configs", {})) if last_good else {}
+        merged.update(config_ms)
+        record = {k: v for k, v in payload.items()
+                  if k not in ("last_good", "drift_exceeds_floor", "drift_note")}
         try:
             with open(_LAST_GOOD_PATH, "w") as f:
-                json.dump({**payload, "measured_at": time.strftime(
-                    "%Y-%m-%d %H:%M:%S UTC", time.gmtime())}, f)
+                json.dump({**record, "configs": merged,
+                           "measured_at": time.strftime(
+                               "%Y-%m-%d %H:%M:%S UTC", time.gmtime())}, f)
         except OSError:
             pass
 

@@ -108,6 +108,33 @@ def test_watchdog_failure_payload_carries_last_good(tmp_path):
     assert "last_good" not in bench.watchdog_failure_payload(str(p))
 
 
+def test_drift_flagging_vs_last_good():
+    """Official-run drift flagging (VERDICT r4 #7): any config whose ms
+    moved more than the ±20% cross-run chip-state floor vs the cached
+    last-good run must surface in the JSON payload; smaller moves and
+    unknown configs must not."""
+    import bench
+
+    last_good = {"configs": {"diablo:shadow": 4.35, "diablo:occlusion": 22.1,
+                             "african_head:default": 3.54}}
+    measured = {
+        "diablo:shadow": 4.60,        # +5.7% — inside the floor
+        "diablo:occlusion": 27.0,     # +22.2% — flagged
+        "diablo_x16:phong": 9.99,     # no last-good entry — ignored
+    }
+    drift = bench.drift_vs_last_good(measured, last_good)
+    assert set(drift) == {"diablo:occlusion"}
+    rec = drift["diablo:occlusion"]
+    assert rec["ms"] == 27.0 and rec["last_good_ms"] == 22.1
+    assert rec["delta_pct"] == 22.2
+    # Degenerate inputs: no cache / cache without per-config records.
+    assert bench.drift_vs_last_good(measured, None) == {}
+    assert bench.drift_vs_last_good(measured, {"value": 4.35}) == {}
+    # Drift is two-sided: a too-fast reading is as suspect as a too-slow one.
+    fast = bench.drift_vs_last_good({"diablo:shadow": 3.0}, last_good)
+    assert fast["diablo:shadow"]["delta_pct"] == -31.0
+
+
 def test_bench_rejects_bad_knob_before_device_init(monkeypatch, capsys):
     """--knob typos must fail during argument validation, before any
     device op can burn a live tunnel window."""
