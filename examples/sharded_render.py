@@ -54,7 +54,17 @@ def main():
     size = 800
     if "--size" in argv:
         i = argv.index("--size")
-        size = int(argv[i + 1])
+        if i + 1 >= len(argv):
+            sys.exit("--size needs a value, e.g. --size 400")
+        try:
+            size = int(argv[i + 1])
+        except ValueError:
+            sys.exit(f"--size must be an integer, got {argv[i + 1]!r}")
+        if size <= 0 or size % N_DEVICES != 0:
+            sys.exit(
+                f"--size must be a positive multiple of the mesh's row "
+                f"axis ({N_DEVICES}), got {size}"
+            )
         del argv[i:i + 2]
     # --replicate-pass1: full-height per-device light pass instead of the
     # all_gather'ed shadow map (the ICI-vs-FLOPs knob; output identical).
@@ -62,6 +72,12 @@ def main():
     # --pipelined: render a short orbit through the two-pass pipeline-
     # parallel path (("stage", "rows") mesh, ppermute shadow handoff).
     pipelined = "--pipelined" in argv
+    if replicate and pipelined:
+        sys.exit(
+            "--replicate-pass1 and --pipelined are mutually exclusive "
+            "(replicate_pass1 is a pass-1 strategy; the pipelined path "
+            "splits the passes across mesh stages instead)"
+        )
     argv = [a for a in argv if a not in ("--replicate-pass1", "--pipelined")]
     asset = argv[0] if len(argv) > 0 else "/root/reference/assets/diablo"
     out = argv[1] if len(argv) > 1 else "/tmp/sharded.png"

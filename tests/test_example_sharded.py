@@ -59,6 +59,27 @@ def test_sharded_example_pipelined(tmp_path):
     assert not np.array_equal(frames[0], frames[2])
 
 
+@pytest.mark.parametrize("args,msg", [
+    (["--size"], "--size needs a value"),
+    (["--size", "abc"], "--size must be an integer"),
+    (["--size", "100"], "positive multiple of the mesh's row axis"),
+    (["--size", "128", "--pipelined", "--replicate-pass1"],
+     "mutually exclusive"),
+])
+def test_sharded_example_flag_errors(tmp_path, args, msg):
+    """Bad flag combinations exit cleanly with a clear message, not a
+    traceback (ADVICE r4)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, EXAMPLE, ASSET, str(tmp_path / "x.png")] + args,
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode != 0
+    assert msg in proc.stderr
+    assert "Traceback" not in proc.stderr
+
+
 @pytest.mark.slow
 def test_sharded_example_replicate_pass1_identical(tmp_path):
     """--replicate-pass1 is an execution-strategy knob: same pixels."""
