@@ -78,9 +78,45 @@ def fog():
     unregister_pipeline("fog")
 
 
+def shade_heat(frag, uniforms, textures, config, xp):
+    """Custom-attribute shade: texture dimmed by a user-supplied scalar
+    per-vertex 'heat' plane (register_pipeline 'attr:*' extension)."""
+    from tiny_renderer_tpu.ops import mathlib as ml
+
+    color = shaders.sample_frag(textures, frag, ("texture",), xp)["texture"]
+    t = xp.clip(frag["attr:heat"][..., 0], 0.0, 1.0)
+    return ml.color_blend(color, xp.asarray(shaders.BLACK), t, xp)
+
+
+@pytest.fixture
+def heat():
+    register_pipeline(
+        "heat", shade_heat,
+        varying_spec=(("uv", 2, "interp"), ("attr:heat", 1, "interp")),
+        maps=("texture",),
+    )
+    yield "heat"
+    unregister_pipeline("heat")
+
+
 @pytest.fixture(scope="module")
 def scene(head_model):
     return geom_dict(head_model.mesh), tex_dict(head_model)
+
+
+@pytest.fixture(scope="module")
+def heat_scene(head_model):
+    geom = dict(geom_dict(head_model.mesh))
+    # Smooth position-derived per-corner values: neighboring triangles
+    # agree at shared vertices, so the kernel's usual z-ULP tie-flip
+    # pixels shade near-identically (as with the built-in varyings) and
+    # the backend-parity assertions keep their standard budgets.  A
+    # random-valued plane would light up EVERY tie-flip as a full-color
+    # mismatch.
+    corners = np.asarray(geom["positions"])[np.asarray(geom["pos_idx"])]
+    heat = 0.5 + 0.5 * np.sin(4.0 * corners[..., 0] + 2.0 * corners[..., 1])
+    geom["attr:heat"] = heat[..., None].astype(np.float32)
+    return geom, tex_dict(head_model)
 
 
 def _render(pipeline, scene, camera, backend, **cfg_kw):
@@ -124,6 +160,82 @@ def test_custom_pipeline_backends_and_oracle(pipe_fixture, scene, camera,
     )
     mismatch = (o["frame"] != jnp_frame).any(axis=-1).mean()
     assert mismatch <= 0.005, f"oracle mismatch {mismatch:.4%}"
+
+
+def test_custom_attr_backends_and_oracle(heat, heat_scene, camera):
+    """A user vertex attribute ('attr:heat') interpolates identically on
+    the jnp path, the real kernel's strip-compacted shade, and the CPU
+    oracle — the (T,3,k) plane rides the packed fragment gather."""
+    geom, tex = heat_scene
+    jnp_frame = _render(heat, heat_scene, camera, "jnp")
+    assert (jnp_frame.any(axis=-1)).mean() > 0.05
+    pl_frame = _render(heat, heat_scene, camera, "pallas_interpret")
+    mismatch = (pl_frame != jnp_frame).any(axis=-1).mean()
+    assert mismatch <= 0.005, f"jnp vs pallas mismatch {mismatch:.4%}"
+    cfg = RenderConfig(width=96, height=96, strip_batch=32, tile_h=8)
+    o = render_oracle(
+        {k: np.asarray(v) for k, v in geom.items()},
+        {k: np.asarray(v) for k, v in tex.items()},
+        *camera, pipeline=heat, config=cfg,
+    )
+    mismatch = (o["frame"] != jnp_frame).any(axis=-1).mean()
+    assert mismatch <= 0.005, f"oracle mismatch {mismatch:.4%}"
+    # The attribute must actually shape the output: zeroed heat differs.
+    cold = dict(geom)
+    cold["attr:heat"] = np.zeros_like(np.asarray(geom["attr:heat"]))
+    cold_frame = _render(heat, (cold, tex), camera, "jnp")
+    assert not np.array_equal(cold_frame, jnp_frame)
+
+
+def test_custom_attr_missing_raises(heat, scene, camera):
+    with pytest.raises(ValueError, match="attr:heat"):
+        _render(heat, scene, camera, "jnp")
+
+
+def test_custom_attr_bad_shape_raises(heat, heat_scene, camera):
+    geom, tex = heat_scene
+    bad = dict(geom)
+    bad["attr:heat"] = np.zeros((7, 3, 1), np.float32)
+    with pytest.raises(ValueError, match="num_triangles"):
+        _render(heat, (bad, tex), camera, "jnp")
+
+
+def test_custom_attr_validation():
+    with pytest.raises(ValueError, match="interp"):
+        register_pipeline("bad", shade_heat,
+                          varying_spec=(("attr:x", 1, "const"),))
+    for comps in (0, 9, "x"):
+        with pytest.raises(ValueError, match="components"):
+            register_pipeline("bad", shade_heat,
+                              varying_spec=(("attr:x", comps, "interp"),))
+    assert "bad" not in PIPELINES
+
+
+def test_custom_attr_sharded(heat, heat_scene, camera, eight_devices):
+    """The (T,3,k) attribute plane shards over the triangle axis with the
+    rest of the vertex stage (shard_triangles) and row-shards bit-equal."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiny_renderer_tpu.parallel.sharding import (
+        make_row_mesh,
+        render_frame_sharded,
+    )
+
+    geom, tex = heat_scene
+    cfg = RenderConfig(width=96, height=96, strip_batch=32, tile_h=8,
+                       shard_triangles=True)
+    args = (
+        jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+        *map(jnp.asarray, camera),
+    )
+    mesh = make_row_mesh(eight_devices, batch=1)
+    sharded = render_frame_sharded(*args, pipeline=heat, config=cfg,
+                                   mesh=mesh, backend="jnp")
+    single = make_frame_fn(heat, cfg, backend="jnp")(*args)
+    np.testing.assert_array_equal(
+        np.asarray(sharded["frame"]), np.asarray(single["frame"])
+    )
 
 
 def test_custom_pipeline_swizzle_knobs(toon, scene, camera):
@@ -249,10 +361,33 @@ def test_example_module_registers(tmp_path, monkeypatch):
         varying_spec=(("uv", 2, "interp"), ("intensity", 1, "interp")),
         maps=("texture",), needs=("vertex_intensity",),
     )
+    register_pipeline(
+        "glow_ex", mod.shade_glow,
+        varying_spec=(("uv", 2, "interp"), ("attr:glow", 1, "interp")),
+        maps=("texture",),
+    )
     try:
-        assert "toon_ex" in PIPELINES
+        assert "toon_ex" in PIPELINES and "glow_ex" in PIPELINES
     finally:
         unregister_pipeline("toon_ex")
+        unregister_pipeline("glow_ex")
+
+
+def test_scene_vertex_attrs(heat, head_model):
+    """Scene(vertex_attrs=...) threads a user attribute through the
+    Model-level API (the example's posture)."""
+    from tiny_renderer_tpu import Scene
+
+    mesh = head_model.mesh
+    corners = np.asarray(mesh.positions)[np.asarray(mesh.pos_idx)]
+    vals = (0.5 + 0.5 * np.sin(3.0 * corners[..., 0]))[..., None].astype(
+        np.float32)
+    sc = Scene(head_model, heat,
+               RenderConfig(width=96, height=96, strip_batch=32, tile_h=8),
+               backend="jnp", vertex_attrs={"heat": vals})
+    sc.render()
+    frame = sc.get_frame_buffer()
+    assert (frame.any(axis=-1)).mean() > 0.05
 
 
 @pytest.fixture(scope="module")

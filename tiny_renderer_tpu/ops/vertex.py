@@ -176,6 +176,21 @@ def triangle_setup(geom, uniforms, config, *, matrix_key="vpmv", cull=True, need
         "coord_overflow": coord_overflow,
     }
 
+    # User vertex attributes (register_pipeline varying names "attr:*"):
+    # per-corner (T, 3, k) float planes supplied alongside the geometry,
+    # untouched by the matrix stack, interpolated like uv.  Passed through
+    # here so every consumer — the packed fragment gather, the oracle, the
+    # sharded paths — sees them as ordinary setup keys.
+    for key, val in geom.items():
+        if key.startswith("attr:"):
+            a = xp.asarray(val, dtype=xp.float32)
+            if a.ndim != 3 or a.shape[0] != T or a.shape[1] != 3:
+                raise ValueError(
+                    f"custom vertex attribute {key!r} must have shape "
+                    f"(num_triangles={T}, 3, k); got {a.shape}"
+                )
+            out[key] = a
+
     if "face_intensity" in needs:
         # Flat shading: face normal through it_m, one diffuse coefficient
         # broadcast to the triangle (shader.rs:297-305).

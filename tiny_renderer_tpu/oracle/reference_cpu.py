@@ -98,6 +98,12 @@ def _raster_serial(setup, height, width, *, shadow_mode=False):
 def _gather_fragments_np(setup, idx, keys):
     H, W = idx.shape
     safe = np.maximum(idx, 0)
+    for k in keys:
+        if k not in setup:  # custom "attr:" varying not supplied
+            raise ValueError(
+                f"pipeline requires the custom vertex attribute {k!r}: "
+                f"supply geom[{k!r}] with shape (num_triangles, 3, k)"
+            )
     frag = {k: np.asarray(setup[k])[safe] for k in keys}
     px = np.broadcast_to(np.arange(W, dtype=np.int64)[None, :], (H, W))
     py = np.broadcast_to(np.arange(H, dtype=np.int64)[:, None], (H, W))

@@ -141,9 +141,11 @@ def _tri_sharded_setup(geom, uniforms, config, n_rows, *, matrix_key="vpmv",
         )
 
     local = dict(geom)
-    for k in ("pos_idx", "tex_idx", "normal_idx", "pos_tri", "uv_tri",
-              "normal_tri"):
-        if k in local:
+    for k in list(local):
+        if k in ("pos_idx", "tex_idx", "normal_idx", "pos_tri", "uv_tri",
+                 "normal_tri") or k.startswith("attr:"):
+            # Per-triangle arrays shard over the triangle axis; custom
+            # "attr:" planes are (T, 3, k) and slice the same way.
             local[k] = tri_slice(local[k])
     setup = triangle_setup(
         local, uniforms, config, matrix_key=matrix_key, cull=cull,

@@ -114,7 +114,11 @@ def register_pipeline(name, shade, *, varying_spec, maps=(), needs=(),
     pallas_interpret), the sharded multi-device paths, AND the CPU oracle
     (render_oracle shares these tables), so a custom pipeline gets golden
     parity testing for free.  Registration composes the existing
-    vertex-stage outputs; it does not add new vertex attributes.
+    vertex-stage outputs, plus any number of USER vertex attributes:
+    a varying named "attr:<x>" declares a (T, 3, comps) float32 array the
+    caller supplies under that exact key in the geometry dict (per
+    triangle corner, like pre-expanded uv), interpolated with the same
+    barycentric accumulation order as uv.
 
     Args:
       name: pipeline name (key for Scene(model, name), -s on the CLI when
@@ -130,7 +134,9 @@ def register_pipeline(name, shade, *, varying_spec, maps=(), needs=(),
       varying_spec: tuple of (name, components, mode) drawn from the
         vocabulary: uv(2, interp), intensity(1, interp),
         local_z(3, interp), zfrag(1, zfrag), row0/row1(3, const),
-        du/dv(2, const).
+        du/dv(2, const) — or "attr:<x>"(1-8, interp) for a custom
+        per-vertex attribute supplied as geom["attr:<x>"] with shape
+        (num_triangles, 3, components).
       maps: texture-map names the shade samples (word-packed together;
         any keys present in the textures dict).
       needs: vertex-stage extras, subset of {face_intensity,
@@ -151,10 +157,30 @@ def register_pipeline(name, shade, *, varying_spec, maps=(), needs=(),
     gather = []
     for entry in varying_spec:
         vname, comps, mode = entry
+        if vname.startswith("attr:"):
+            # Custom per-vertex attribute: the caller supplies a
+            # (T, 3, comps) float32 array under this exact key in the
+            # geometry dict; it is interpolated like uv.  The reference's
+            # closed 7-name dispatch (shader.rs:100-109) has no analog —
+            # this is a beyond-reference extension point.
+            if mode != "interp":
+                raise ValueError(
+                    f"custom vertex attribute {vname!r} supports mode "
+                    f"'interp', got {mode!r}"
+                )
+            if not isinstance(comps, int) or not 1 <= comps <= 8:
+                raise ValueError(
+                    f"custom vertex attribute {vname!r} must have 1-8 "
+                    f"components, got {comps!r}"
+                )
+            if vname not in gather:
+                gather.append(vname)
+            continue
         if vname not in _VARYING_VOCAB:
             raise ValueError(
                 f"unknown varying {vname!r}; available: "
-                f"{', '.join(sorted(_VARYING_VOCAB))}"
+                f"{', '.join(sorted(_VARYING_VOCAB))}, or 'attr:<name>' "
+                "for a custom per-vertex attribute"
             )
         modes, key, want_comps = _VARYING_VOCAB[vname]
         if mode not in modes:
@@ -394,6 +420,13 @@ def _gather_fragments(setup, idx, keys, config, y_offset=0, pixel_coords=None):
     layout = {}
     pos = 7
     for k in keys:
+        if k not in setup:
+            # Only reachable for custom "attr:" varyings: the built-in
+            # keys always exist when their needs are validated.
+            raise ValueError(
+                f"pipeline requires the custom vertex attribute {k!r}: "
+                f"supply geom[{k!r}] with shape (num_triangles, 3, k)"
+            )
         a = setup[k]
         flat = a.reshape(a.shape[0], -1).astype(jnp.float32)
         layout[k] = (pos, flat.shape[1], a.shape[1:])
@@ -433,7 +466,11 @@ def _planes_spec(pipeline, textures, config, backend):
     """
     if backend == "jnp" or not config.strip_planes:
         return None
-    if any(mode == "const" for (_, _, mode) in VARYING_SPECS[pipeline]):
+    # Per-triangle "const" varyings (darboux) would still need a
+    # per-fragment gather; custom "attr:" planes have no kernel record
+    # lanes — both fall back to the packed attribute gather.
+    if any(mode == "const" or name.startswith("attr:")
+           for (name, _, mode) in VARYING_SPECS[pipeline]):
         return None
     return kernel_varying_spec(pipeline, textures, tile=config.tex_tile)
 

@@ -159,6 +159,15 @@ def compute_varyings(frag, spec, xp):
                     for c in range(3)
                 ]
                 out[name] = xp.stack(vals, axis=-1)
+            elif name.startswith("attr:"):
+                # Custom per-vertex attribute (register_pipeline): generic
+                # k-component interpolation in the same accumulation order.
+                a = frag[name]  # (..., 3v, k)
+                vals = [
+                    (a[..., 0, c] * b0 + a[..., 1, c] * b1) + a[..., 2, c] * b2
+                    for c in range(comps)
+                ]
+                out[name] = xp.stack(vals, axis=-1)
             else:
                 raise KeyError(name)
         else:  # const

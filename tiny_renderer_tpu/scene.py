@@ -31,6 +31,7 @@ class Scene:
         pipeline_name: str = "default",
         config: RenderConfig | None = None,
         backend: str = "auto",
+        vertex_attrs: dict | None = None,
     ):
         if pipeline_name not in PIPELINES:
             # Reference panics with this message (shader.rs:108).
@@ -62,6 +63,14 @@ class Scene:
                 "normal_idx": jnp.asarray(mesh.normal_idx),
             }
         )
+        if vertex_attrs:
+            # Custom per-vertex attributes for registered pipelines that
+            # declare "attr:<name>" varyings (register_pipeline): each is
+            # a (num_triangles, 3, k) float array, per triangle corner.
+            for aname, arr in vertex_attrs.items():
+                key = aname if aname.startswith("attr:") else f"attr:{aname}"
+                self._geom[key] = jnp.asarray(arr, jnp.float32)
+
         from .pipelines.frame import prepack_textures
 
         self._textures = prepack_textures(
