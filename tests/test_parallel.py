@@ -125,7 +125,10 @@ def test_dryrun_multichip_entrypoint(eight_devices):
     mod.dryrun_multichip(8)
 
 
-@pytest.mark.parametrize("pipeline", ["phong", "shadow"])
+@pytest.mark.parametrize("pipeline", [
+    pytest.param("phong", marks=pytest.mark.slow),  # one-pass mirror
+    "shadow",  # fast rep: two-pass covers the kernel-in-shard_map path
+])
 def test_row_sharded_pallas_matches_single(head_scene_data, camera, pipeline, eight_devices):
     """The Pallas kernel inside shard_map (row-tile offsets + local binning
     windows) must reproduce the single-device Pallas render.
@@ -236,6 +239,7 @@ def test_sharded_needs_z_false_matches(head_scene_data, camera, eight_devices):
         )
 
 
+@pytest.mark.slow  # fast rep: test_sharded_needs_z_false_matches
 def test_batch_sharded_needs_z_false(head_scene_data, camera, eight_devices):
     cfg = RenderConfig(width=64, height=64, tile_h=8, tri_block=32)
     mesh = make_row_mesh(eight_devices, batch=2)
@@ -377,7 +381,9 @@ def test_batch_sharded_pallas_backend(head_scene_data, camera, eight_devices):
 # t-1 with the shadow map handed over via ppermute (render_sequence_pipelined).
 
 
-@pytest.mark.parametrize("pipeline", ["shadow", "occlusion"])
+@pytest.mark.parametrize("pipeline", [
+    "shadow", pytest.param("occlusion", marks=pytest.mark.slow),
+])
 def test_pipelined_sequence_matches_single_device(head_scene_data, camera,
                                                   pipeline, eight_devices):
     """Every frame of the pipelined sequence must be bit-identical to the
@@ -411,6 +417,7 @@ def test_pipelined_sequence_matches_single_device(head_scene_data, camera,
         )
 
 
+@pytest.mark.slow  # kernel pp legs also run fast in the driver dryrun test
 def test_pipelined_sequence_pallas_kernel(head_scene_data, camera, eight_devices):
     """The real Pallas raster kernel (interpret mode) + strip shade inside
     the pipelined scan's cond branches must stay bit-identical to the

@@ -238,6 +238,7 @@ def test_custom_attr_sharded(heat, heat_scene, camera, eight_devices):
     )
 
 
+@pytest.mark.slow  # built-in swizzle pins run fast in test_tex_swizzle
 def test_custom_pipeline_swizzle_knobs(toon, scene, camera):
     base = _render(toon, scene, camera, "pallas_interpret")
     knobbed = _render(toon, scene, camera, "pallas_interpret",
@@ -316,6 +317,42 @@ def test_overwrite_invalidates_jit_cache(scene, camera):
         assert not (green[..., 0] == 200).any()
     finally:
         unregister_pipeline("swap")
+
+
+def test_reregister_after_unregister_not_stale(scene, camera):
+    """unregister -> register of the SAME name must not serve executables
+    traced against the removed shade (the registration-generation key
+    bumps at unregister; a fresh register of an absent name does not)."""
+    def shade_a(frag, uniforms, textures, config, xp):
+        rgb = np.zeros(frag["intensity"].shape + (3,), np.uint8) if xp is np \
+            else xp.zeros(frag["intensity"].shape + (3,), xp.uint8)
+        if xp is np:
+            rgb[..., 0] = 10
+            return rgb
+        return rgb.at[..., 0].set(10)
+
+    def shade_b(frag, uniforms, textures, config, xp):
+        rgb = np.zeros(frag["intensity"].shape + (3,), np.uint8) if xp is np \
+            else xp.zeros(frag["intensity"].shape + (3,), xp.uint8)
+        if xp is np:
+            rgb[..., 0] = 77
+            return rgb
+        return rgb.at[..., 0].set(77)
+
+    spec = (("intensity", 1, "interp"),)
+    register_pipeline("regen", shade_a, varying_spec=spec,
+                      needs=("vertex_intensity",))
+    try:
+        a = _render("regen", scene, camera, "jnp")
+        assert (a[..., 0] == 10).any()
+        unregister_pipeline("regen")
+        register_pipeline("regen", shade_b, varying_spec=spec,
+                          needs=("vertex_intensity",))
+        b = _render("regen", scene, camera, "jnp")
+        assert (b[..., 0] == 77).any(), "stale executable after re-register"
+        assert not (b[..., 0] == 10).any()
+    finally:
+        unregister_pipeline("regen")
 
 
 def test_unregister_cleans_all_tables():

@@ -94,7 +94,8 @@ def test_stress_40k_triangles_backends_agree(big_scene, camera, backend):
     assert mismatch <= 0.005, f"stress mismatch {mismatch:.4%}"
 
 
-def test_stress_sharded_bit_identical(big_scene, camera):
+@pytest.mark.slow  # 40k-tri sharded run; shard_triangles' fast reps are
+def test_stress_sharded_bit_identical(big_scene, camera):  # in test_parallel
     """The 40k-triangle scene through the row-sharded path (with
     shard_triangles, the axis built for geometry-heavy scenes) is
     bit-identical to single-device."""

@@ -28,9 +28,14 @@ def scene(head_model):
     return geom_dict(head_model.mesh), tex_dict(head_model)
 
 
+# strip_planes is a measured-negative, non-shipped knob: all its
+# bit-identity pins run in -m slow (the cheap spec-gating test below
+# stays fast).
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "pipeline",
-    ["default", "phong", "normal_map", "specular", "darboux", "shadow", "occlusion"],
+    ["default", "phong", "normal_map", "specular", "darboux", "shadow",
+     "occlusion"],
 )
 def test_strip_planes_bit_identical(scene, camera, pipeline):
     geom, tex = scene
@@ -95,6 +100,7 @@ def test_strip_planes_sharded_bit_identical(scene, camera):  # rep stays fast
     np.testing.assert_array_equal(np.asarray(a["frame"]), np.asarray(b["frame"]))
 
 
+@pytest.mark.slow  # composes two measured-negative knobs
 def test_strip_planes_with_strip_mask(scene, camera):
     """strip_planes composes with the kernel-emitted strip coverage plane."""
     geom, tex = scene

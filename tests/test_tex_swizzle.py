@@ -147,7 +147,9 @@ def _head_scene(head_model):
     return geom_dict(head_model.mesh), tex_dict(head_model)
 
 
-@pytest.mark.parametrize("pipeline", ["shadow", "occlusion"])
+@pytest.mark.parametrize("pipeline", [
+    "shadow", pytest.param("occlusion", marks=pytest.mark.slow),
+])
 def test_shadow_tile_render_bit_identical(pipeline, _head_scene, camera):
     """End-to-end: shadow_tile on/off renders the exact same frame through
     the real two-pass path (occlusion exercises the 17-probe loop and its

@@ -40,6 +40,7 @@ from ..ops.vertex import triangle_setup
 from ..pipelines import shaders
 from ..pipelines.frame import (
     PIPELINES,
+    registry_generation,
     _add_const_gather,
     _fragments_from_planes,
     _fused_raster,
@@ -339,19 +340,14 @@ def _needs_pack(textures, pipeline, tile=0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pipeline", "config", "mesh", "backend", "needs_z")
+    jax.jit,
+    static_argnames=("pipeline", "config", "mesh", "backend", "needs_z", "gen"),
 )
-def render_frame_sharded(
+def _render_frame_sharded_jit(
     geom, textures, light_direction, look_from, look_at, up, *, pipeline, config, mesh,
-    backend="jnp", needs_z=True,
+    backend="jnp", needs_z=True, gen=0,
 ):
-    """Row-sharded single frame. Returns dict(frame, z, shadow) of full size.
-
-    config.height must be divisible by the "rows" axis size (and, for the
-    pallas backends, each shard's rows by tile_h).  needs_z=False skips the
-    camera pass's z target entirely (returned "z" is None) — the kernel
-    backends then never write it to HBM, matching the single-device path.
-    """
+    del gen  # static-key-only (pipeline registration generation)
     config = config.resolve(pipeline)
     n_rows = mesh.shape["rows"]
     if config.height % n_rows != 0:
@@ -387,20 +383,36 @@ def render_frame_sharded(
     return {"frame": frame, "z": z, "shadow": shadow, "overflow": jnp.any(ovf)}
 
 
-@functools.partial(
-    jax.jit, static_argnames=("pipeline", "config", "mesh", "backend", "needs_z")
-)
-def render_batch_sharded(
-    geom, textures, light_directions, look_froms, look_at, up, *, pipeline, config, mesh,
-    backend="jnp", needs_z=True,
+def render_frame_sharded(
+    geom, textures, light_direction, look_from, look_at, up, *, pipeline,
+    config, mesh, backend="jnp", needs_z=True,
 ):
-    """Batch of frames on a 2D ("batch", "rows") mesh.
+    """Row-sharded single frame. Returns dict(frame, z, shadow) of full size.
 
-    light_directions/look_froms: (B, 3) sharded over "batch"; each frame's
-    rows are sharded over "rows".  Returns frames (B, H, W, 3) plus a
-    per-frame (B,) overflow flag (same contract as render_frame).
-    needs_z=False (the burst/animation posture) skips the z targets.
+    config.height must be divisible by the "rows" axis size (and, for the
+    pallas backends, each shard's rows by tile_h).  needs_z=False skips the
+    camera pass's z target entirely (returned "z" is None) — the kernel
+    backends then never write it to HBM, matching the single-device path.
     """
+    # The registration generation rides in the static jit key so a
+    # re-registered pipeline name never hits stale executables
+    # (frame.registry_generation).
+    return _render_frame_sharded_jit(
+        geom, textures, light_direction, look_from, look_at, up,
+        pipeline=pipeline, config=config, mesh=mesh, backend=backend,
+        needs_z=needs_z, gen=registry_generation(pipeline),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pipeline", "config", "mesh", "backend", "needs_z", "gen"),
+)
+def _render_batch_sharded_jit(
+    geom, textures, light_directions, look_froms, look_at, up, *, pipeline, config, mesh,
+    backend="jnp", needs_z=True, gen=0,
+):
+    del gen  # static-key-only (pipeline registration generation)
     config = config.resolve(pipeline)
     n_batch = mesh.shape["batch"]
     n_rows = mesh.shape["rows"]
@@ -447,6 +459,24 @@ def render_batch_sharded(
     return {"frame": frames, "z": zs, "overflow": jnp.any(ovfs, axis=1)}
 
 
+def render_batch_sharded(
+    geom, textures, light_directions, look_froms, look_at, up, *, pipeline,
+    config, mesh, backend="jnp", needs_z=True,
+):
+    """Batch of frames on a 2D ("batch", "rows") mesh.
+
+    light_directions/look_froms: (B, 3) sharded over "batch"; each frame's
+    rows are sharded over "rows".  Returns frames (B, H, W, 3) plus a
+    per-frame (B,) overflow flag (same contract as render_frame).
+    needs_z=False (the burst/animation posture) skips the z targets.
+    """
+    return _render_batch_sharded_jit(
+        geom, textures, light_directions, look_froms, look_at, up,
+        pipeline=pipeline, config=config, mesh=mesh, backend=backend,
+        needs_z=needs_z, gen=registry_generation(pipeline),
+    )
+
+
 def make_pp_mesh(devices=None):
     """Mesh over ("stage", "rows") for two-pass pipeline parallelism
     (render_sequence_pipelined): stage 0 rasterizes the light pass of
@@ -462,9 +492,6 @@ def make_pp_mesh(devices=None):
     return Mesh(arr, axis_names=("stage", "rows"))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("pipeline", "config", "mesh", "backend")
-)
 def render_sequence_pipelined(
     geom, textures, light_directions, look_froms, look_at, up, *, pipeline,
     config, mesh, backend="jnp",
@@ -497,6 +524,21 @@ def render_sequence_pipelined(
     assumed (no z targets).  Returns {"frame": (B, H, W, 3),
     "overflow": (B,)}.
     """
+    return _render_sequence_pipelined_jit(
+        geom, textures, light_directions, look_froms, look_at, up,
+        pipeline=pipeline, config=config, mesh=mesh, backend=backend,
+        gen=registry_generation(pipeline),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pipeline", "config", "mesh", "backend", "gen")
+)
+def _render_sequence_pipelined_jit(
+    geom, textures, light_directions, look_froms, look_at, up, *, pipeline,
+    config, mesh, backend="jnp", gen=0,
+):
+    del gen  # static-key-only (pipeline registration generation)
     config = config.resolve(pipeline)
     spec = PIPELINES[pipeline]
     if not spec.two_pass:
@@ -644,11 +686,8 @@ def render_sequence_pipelined(
     return {"frame": frames, "overflow": overflow}
 
 
-# The sharded jits are also keyed on the pipeline NAME; register them so
-# register_pipeline(overwrite=True)/unregister_pipeline invalidate their
-# compiled executables too (frame._clear_pipeline_jit_caches).
-from ..pipelines import frame as _frame  # noqa: E402
-
-_frame._PIPELINE_JIT_FNS.extend(
-    [render_frame_sharded, render_batch_sharded, render_sequence_pipelined]
-)
+# The sharded jits are also keyed on the pipeline NAME; each public
+# wrapper above threads frame.registry_generation(pipeline) into the
+# static jit key, so register_pipeline(overwrite=True)/
+# unregister_pipeline invalidate their compiled executables without a
+# global cache clear.

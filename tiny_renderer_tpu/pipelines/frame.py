@@ -91,18 +91,26 @@ _VARYING_VOCAB = {
 _VALID_NEEDS = ("face_intensity", "vertex_intensity", "darboux")
 
 
-def _clear_pipeline_jit_caches():
-    """Drop every compiled executable keyed on a pipeline NAME.
+# Per-name registration generation.  The jitted entry points
+# (render_frame_jit / render_burst / the sharded jits) treat the pipeline
+# name as a static string; replacing or removing a registration under the
+# same name would otherwise keep serving renders traced against the OLD
+# shade function.  Bumping a generation that rides in the static jit key
+# invalidates exactly that name's executables — stale entries keyed on
+# old generations are simply never hit again — instead of clearing every
+# pipeline's cache, which forced multi-second recompiles of every cached
+# (pipeline, config, backend) in the process (a serving latency spike on
+# shader swap, and recompile storms across the test suite).
+_REGISTRY_GEN = {}
 
-    render_frame_jit / render_burst (and the sharded jits, which append
-    themselves to this list on import) treat the pipeline name as a static
-    string — replacing a registration under the same name would otherwise
-    keep serving renders traced against the OLD shade function."""
-    for fn in _PIPELINE_JIT_FNS:
-        fn.clear_cache()
+
+def registry_generation(name):
+    """Current registration generation for a pipeline name (static jit key)."""
+    return _REGISTRY_GEN.get(name, 0)
 
 
-_PIPELINE_JIT_FNS = []
+def _bump_registry_generation(name):
+    _REGISTRY_GEN[name] = _REGISTRY_GEN.get(name, 0) + 1
 
 
 def register_pipeline(name, shade, *, varying_spec, maps=(), needs=(),
@@ -218,9 +226,9 @@ def register_pipeline(name, shade, *, varying_spec, maps=(), needs=(),
         )
     spec = PipelineSpec(name, tuple(needs), shade, two_pass=two_pass)
     if name in PIPELINES:
-        # Replacing a live registration: compiled executables traced
-        # against the old shade are keyed only on the name — drop them.
-        _clear_pipeline_jit_caches()
+        # Replacing a live registration: executables traced against the
+        # old shade must never be served again under this name.
+        _bump_registry_generation(name)
     PIPELINES[name] = spec
     VARYING_SPECS[name] = tuple(varying_spec)
     _PIPELINE_MAPS[name] = tuple(maps)
@@ -235,7 +243,9 @@ def unregister_pipeline(name):
     if name in _BUILTIN_PIPELINES:
         raise ValueError(f"cannot unregister built-in pipeline {name!r}")
     if name in PIPELINES:
-        _clear_pipeline_jit_caches()
+        # A later re-registration of this name must not hit executables
+        # traced against the removed shade.
+        _bump_registry_generation(name)
     for table in (PIPELINES, VARYING_SPECS, _PIPELINE_MAPS,
                   shaders._PIPELINE_MAPS_FOR_SPEC, _GATHER_KEYS):
         table.pop(name, None)
@@ -817,10 +827,17 @@ def prepack_textures(textures, pipeline, xp=jnp, tile=0):
     return shaders.pack_textures(textures, _PIPELINE_MAPS[pipeline], xp, tile=tile)
 
 
-@functools.partial(jax.jit, static_argnames=("pipeline", "config", "backend"))
+@functools.partial(
+    jax.jit, static_argnames=("pipeline", "config", "backend", "gen")
+)
 def render_frame_jit(
-    geom, textures, light_direction, look_from, look_at, up, *, pipeline, config, backend
+    geom, textures, light_direction, look_from, look_at, up, *, pipeline,
+    config, backend, gen=0,
 ):
+    # `gen` is the registration generation of `pipeline` (inert in the
+    # body; part of the static key so re-registering a name can never
+    # serve executables traced against the old shade).
+    del gen
     return render_frame(
         geom,
         textures,
@@ -834,9 +851,6 @@ def render_frame_jit(
     )
 
 
-_PIPELINE_JIT_FNS.append(render_frame_jit)
-
-
 def make_frame_fn(pipeline, config, backend="auto"):
     """Returns fn(geom, textures, light_direction, look_from, look_at, up)."""
     if backend == "auto":
@@ -845,16 +859,17 @@ def make_frame_fn(pipeline, config, backend="auto"):
     # the resolved config (render_frame's own resolve is then a no-op).
     return functools.partial(
         render_frame_jit, pipeline=pipeline, config=config.resolve(pipeline),
-        backend=backend
+        backend=backend, gen=registry_generation(pipeline),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pipeline", "config", "backend", "keep_frames")
+    jax.jit,
+    static_argnames=("pipeline", "config", "backend", "keep_frames", "gen"),
 )
 def render_burst(
     geom, textures, camera_angles, light_angles, *, pipeline, config, backend,
-    keep_frames=False,
+    keep_frames=False, gen=0,
 ):
     """Render a whole animation burst in ONE device program.
 
@@ -867,6 +882,7 @@ def render_burst(
     Returns dict with per-frame u32 checksums and (N,) overflow flags
     (always) and, if keep_frames, the stacked (N, H, W, 3) frames.
     """
+    del gen  # static-key-only: see render_frame_jit
     look_at = jnp.zeros((3,), jnp.float32)
     up = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
 
@@ -892,9 +908,6 @@ def render_burst(
     return result
 
 
-_PIPELINE_JIT_FNS.append(render_burst)
-
-
 def make_burst_fn(pipeline, config, backend="auto", keep_frames=False):
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -904,4 +917,5 @@ def make_burst_fn(pipeline, config, backend="auto", keep_frames=False):
         config=config.resolve(pipeline),
         backend=backend,
         keep_frames=keep_frames,
+        gen=registry_generation(pipeline),
     )
