@@ -187,6 +187,28 @@ def test_custom_attr_backends_and_oracle(heat, heat_scene, camera):
     assert not np.array_equal(cold_frame, jnp_frame)
 
 
+def test_custom_attr_burst(heat, heat_scene):
+    """The attribute plane rides the burst (lax.scan) path unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiny_renderer_tpu.pipelines.frame import make_burst_fn
+
+    geom, tex = heat_scene
+    cfg = RenderConfig(width=64, height=64, strip_batch=32, tile_h=8)
+    burst = make_burst_fn(heat, cfg, backend="jnp", keep_frames=True)
+    cam = jnp.asarray(np.linspace(0.0, 0.5, 3, dtype=np.float32))
+    lig = jnp.asarray(np.linspace(-0.4, 0.1, 3, dtype=np.float32))
+    out = burst(
+        jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+        cam, lig,
+    )
+    frames = np.asarray(out["frames"])
+    assert frames.shape == (3, 64, 64, 3)
+    assert frames.any() and not np.array_equal(frames[0], frames[2])
+    assert not np.asarray(out["overflow"]).any()
+
+
 def test_custom_attr_missing_raises(heat, scene, camera):
     with pytest.raises(ValueError, match="attr:heat"):
         _render(heat, scene, camera, "jnp")
