@@ -63,6 +63,13 @@ def test_break_even_boundary_is_falsifying(pv):
     assert v == "FAIL" and "MODEL FALSIFIED" in why
 
 
+def test_above_break_even_no_capacity_number_is_honest(pv):
+    # model_ok None = the stress step banked nothing (e.g. it crashed);
+    # the conditional pass must say so, not claim a model agreement.
+    v, why = pv.verdict(True, 4.3, 7.3, None)
+    assert v == "PASS (conditional)" and "banked no number" in why
+
+
 def test_above_break_even_but_model_mismatch_fails(pv):
     v, why = pv.verdict(True, 4.3, 7.3, False)
     assert v == "FAIL" and "re-fit" in why

@@ -66,6 +66,48 @@ def test_subdivided_render_matches_original_silhouette(head_model, camera):
     assert (cov0 != cov1).mean() < 0.01
 
 
+def test_csr_indirect_smem_budget_fallback(diablo_model, head_model, camera):
+    """The kernel prefetches the csr_indirect id list into SMEM (~1 MB on
+    v5e); the 80k-triangle capacity config's list is ~1.26 MB and failed
+    TPU AOT compile in the round-5 live window.  bin_triangles must fall
+    back to the gathered-record layout (tris=None) above the budget and
+    keep the indirect layout below it."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiny_renderer_tpu.ops import mathlib as ml
+    from tiny_renderer_tpu.ops.binning import (
+        SMEM_ID_LIST_BUDGET_BYTES,
+        bin_triangles,
+        incidence_cap,
+    )
+    from tiny_renderer_tpu.ops.vertex import triangle_setup
+
+    def bin_for(mesh_geom, cfg):
+        light, look_from, look_at, up = map(jnp.asarray, camera)
+        uniforms = ml.default_prepare(cfg, light, look_from, look_at, up, jnp)
+        setup = triangle_setup(
+            jax.tree.map(jnp.asarray, mesh_geom), uniforms, cfg, xp=jnp
+        )
+        return bin_triangles(setup, cfg, ())
+
+    cfg = RenderConfig(width=128, height=128, csr_indirect=True)
+
+    big = geom_dict(subdivide_mesh(diablo_model.mesh, levels=2))  # 80,352
+    T_big = big["pos_idx"].shape[0]
+    assert incidence_cap(T_big, cfg) * 4 > SMEM_ID_LIST_BUDGET_BYTES
+    rec, tris, starts, _ = bin_for(big, cfg)
+    assert tris is None, "over-budget id list must use the gathered layout"
+    assert rec.shape[0] == incidence_cap(T_big, cfg)  # gathered CSR rows
+
+    mid = geom_dict(subdivide_mesh(head_model.mesh, levels=2))  # 39,872
+    T_mid = mid["pos_idx"].shape[0]
+    assert incidence_cap(T_mid, cfg) * 4 <= SMEM_ID_LIST_BUDGET_BYTES
+    rec, tris, starts, _ = bin_for(mid, cfg)
+    assert tris is not None, "under-budget scenes keep the indirect layout"
+    assert rec.shape[0] == T_mid  # compact per-triangle table
+
+
 @pytest.mark.slow  # 40k-triangle interpret-mode run (~25 s)
 @pytest.mark.parametrize("backend", ["pallas_interpret"])
 def test_stress_40k_triangles_backends_agree(big_scene, camera, backend):

@@ -73,7 +73,12 @@ class RenderConfig:
     # record gather in binning and cuts the records' HBM write+DMA ~4x for
     # one extra SMEM scalar load per record.  Bit-identical (tests pin
     # it); measured -0.07 ms headline (hardened same-process sweep,
-    # medians 5.054 vs 5.124, spreads 0.03) -> default True.
+    # medians 5.054 vs 5.124, spreads 0.03) -> default True.  The id list
+    # must fit the kernel's SMEM scalar-prefetch budget: above
+    # binning.SMEM_ID_LIST_BUDGET_BYTES (768 KB ~= 196k incidences ~= 49k
+    # triangles at the default 4T cap) bin_triangles transparently falls
+    # back to the gathered-record layout — the 80k-triangle capacity
+    # config fails TPU AOT compile otherwise (round-5 live window).
     csr_indirect: bool = True
     # Emit the per-strip coverage plane (max winning index per strip_len-px
     # strip) from the raster kernel, so the strip shade reads a (H, W/SL)

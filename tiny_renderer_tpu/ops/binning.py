@@ -134,6 +134,20 @@ def incidence_cap(T: int, config) -> int:
     return _round_up(cap, 8)
 
 
+# The Pallas kernel indirects through the sorted id list as a
+# scalar-prefetch operand, which lives in SMEM (~1 MB/core on v5e).
+# Beyond this budget the TPU AOT compile fails outright — observed on the
+# 80k-triangle capacity config (cap=321,536 ids: "Allocation
+# (size=1286144) would exceed memory (size=1048576) ... space=smem,
+# 'prefetched SMEM operand 2'", round-5 live window).  768 KB leaves
+# headroom for the other SMEM operands (the per-tile `starts` offsets and
+# the row_tile_offset scalar, a few KB at any real resolution).  Above it
+# bin_triangles silently returns the gathered-record layout instead
+# (csr_indirect=False shape): bit-identical pixels, ~4x the record
+# HBM->VMEM traffic — correctness over the layout optimization.
+SMEM_ID_LIST_BUDGET_BYTES = 768 * 1024
+
+
 def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     """Bin triangles into screen tiles as a CSR incidence list.
 
@@ -153,7 +167,10 @@ def bin_triangles(setup, config, spec=(), row_tile_offset=0):
         compact (T, record_lanes(spec)) per-triangle table; tris is the
         (incidence_cap,) i32 sorted triangle-id list the kernel indirects
         through — this skips the cap-row record gather here and shrinks
-        the HBM->VMEM record traffic ~4x (cap defaults to 4T).
+        the HBM->VMEM record traffic ~4x (cap defaults to 4T).  When the
+        id list would exceed SMEM_ID_LIST_BUDGET_BYTES (the kernel
+        prefetches it to SMEM), the gathered layout is returned instead
+        (tris=None) regardless of the knob — bit-identical pixels.
       starts: (num_tiles + 1,) i32 — tile t owns slot range [starts[t],
         starts[t+1]) of the incidence list
       overflowed: () bool — a coverage cap was hit (span clamp, or total
@@ -244,6 +261,6 @@ def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     csr_tris = jnp.minimum(csr_tris, T - 1)  # sentinel slots -> harmless row
 
     records = pack_triangle_records(setup, spec, jnp)
-    if config.csr_indirect:
+    if config.csr_indirect and cap * 4 <= SMEM_ID_LIST_BUDGET_BYTES:
         return records, csr_tris, starts, overflowed
     return records[csr_tris], None, starts, overflowed
