@@ -48,6 +48,8 @@ def test_sharded_example_renders(tmp_path):
     assert img.any(), "frame is all black"
 
 
+@pytest.mark.slow  # second subprocess mesh-compile; the pipelined path's
+# fast coverage lives in test_parallel.py's in-process pp tests
 def test_sharded_example_pipelined(tmp_path):
     out = str(tmp_path / "pp.png")
     _run(["--size", "128", "--pipelined"], out)

@@ -35,6 +35,9 @@ def _run_clean(code: str, extra_env=None, timeout=600):
     )
 
 
+@pytest.mark.slow  # ~1 min: full pixel-proof dryrun in a subprocess; the
+# driver runs exactly this entry point every round, so the fast suite
+# doesn't re-run it.
 @pytest.mark.parametrize("n", [8])
 def test_dryrun_multichip_standalone(n):
     """Fresh process, no XLA_FLAGS: must self-bootstrap an n-device mesh."""
@@ -45,7 +48,24 @@ def test_dryrun_multichip_standalone(n):
     assert "dryrun_multichip OK" in proc.stdout
 
 
-@pytest.mark.slow  # subprocess fallback path; standalone[8] is the fast rep
+def test_entry_traces():
+    """Fast rep for the driver entry points: entry() must import cleanly
+    and its (fn, args) must trace (jax.eval_shape — no compile) to a
+    frame-shaped result.  The full pixel-proof dryruns are -m slow (the
+    driver also runs dryrun_multichip itself every round)."""
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.eval_shape(fn, *args)
+    leaves = jax.tree.leaves(out)
+    assert leaves, "entry() traced to an empty result"
+    assert any(len(l.shape) >= 3 for l in leaves), (
+        "no frame-shaped output in entry() result")
+
+
+@pytest.mark.slow  # subprocess fallback path, same entry as standalone[8]
 def test_dryrun_multichip_after_backend_init():
     """jax already initialized with 1 device: must fall back to subprocess."""
     proc = _run_clean(

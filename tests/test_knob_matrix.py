@@ -23,11 +23,12 @@ BASE = RenderConfig(width=64, height=64, strip_batch=32, tile_h=8)
 
 # (name, knob overrides) — rendered with needs_z=False so fuse_passes can
 # engage where its gate allows.
-# Fast set: every knob appears at least once (singles for the layout
-# knobs, all-on for the deepest composition); the remaining pairwise
-# compositions exercise the same gates and run in -m slow.
+# Fast set: every knob appears at least once (via a single or inside
+# all-on / the retained pairs); the remaining compositions exercise the
+# same gates and run in -m slow.
 _SLOW = {"fuse+planes", "i16+planes", "sl32", "sl4", "t16", "swz16",
-         "swz16+planes", "swz8+fullplane", "sswz16+swz16"}
+         "swz16+planes", "swz8+fullplane", "sswz16+swz16",
+         "mask+planes", "i16", "sswz16"}
 COMBOS = [
     ("fuse", dict(fuse_passes=True)),
     ("mask+planes", dict(strip_mask=True, strip_planes=True)),

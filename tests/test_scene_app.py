@@ -103,6 +103,7 @@ def test_app_rejects_bad_pipeline():
         main(["-s", "nope"])
 
 
+@pytest.mark.slow  # jax.profiler.trace setup dominates (~25 s on CPU)
 def test_app_profile_writes_trace(tmp_path):
     """--profile wraps the run in jax.profiler.trace (SURVEY.md §5.1) and
     must leave a trace dump in the given directory."""

@@ -91,16 +91,25 @@ def test_csr_indirect_smem_budget_fallback(diablo_model, head_model, camera):
         )
         return bin_triangles(setup, cfg, ())
 
+    import dataclasses
+
     cfg = RenderConfig(width=128, height=128, csr_indirect=True)
 
-    big = geom_dict(subdivide_mesh(diablo_model.mesh, levels=2))  # 80,352
-    T_big = big["pos_idx"].shape[0]
-    assert incidence_cap(T_big, cfg) * 4 > SMEM_ID_LIST_BUDGET_BYTES
-    rec, tris, starts, _ = bin_for(big, cfg)
-    assert tris is None, "over-budget id list must use the gathered layout"
-    assert rec.shape[0] == incidence_cap(T_big, cfg)  # gathered CSR rows
+    # The 80k capacity config itself crosses the budget at the default 4T
+    # cap — pin that arithmetic without paying for an 80k bin here.
+    assert incidence_cap(80352, cfg) * 4 > SMEM_ID_LIST_BUDGET_BYTES
 
-    mid = geom_dict(subdivide_mesh(head_model.mesh, levels=2))  # 39,872
+    # Execute the over-budget branch on a 20k mesh by widening the cap
+    # explicitly (same code path, ~4x cheaper in the fast suite).
+    big = geom_dict(subdivide_mesh(diablo_model.mesh, levels=1))  # 20,088
+    T_big = big["pos_idx"].shape[0]
+    cfg_big = dataclasses.replace(cfg, max_incidences=250_000)
+    assert incidence_cap(T_big, cfg_big) * 4 > SMEM_ID_LIST_BUDGET_BYTES
+    rec, tris, starts, _ = bin_for(big, cfg_big)
+    assert tris is None, "over-budget id list must use the gathered layout"
+    assert rec.shape[0] == incidence_cap(T_big, cfg_big)  # gathered rows
+
+    mid = geom_dict(subdivide_mesh(head_model.mesh, levels=1))  # 9,968
     T_mid = mid["pos_idx"].shape[0]
     assert incidence_cap(T_mid, cfg) * 4 <= SMEM_ID_LIST_BUDGET_BYTES
     rec, tris, starts, _ = bin_for(mid, cfg)
