@@ -86,6 +86,9 @@ def main():
     ap.add_argument("--size", type=int, default=800,
                     help="reduce for CPU smoke runs of this script")
     args, _ = ap.parse_known_args()
+    # The burst-marginal protocol measures a long burst AGAINST an
+    # 8-frame one; fewer than 9 frames divides by zero in bench_config.
+    args.frames = max(args.frames, 12)
 
     np.asarray(jnp.ones((8, 128)) * 2)
     print("TUNNEL-LIVE", flush=True)
