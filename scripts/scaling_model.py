@@ -24,6 +24,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+def _row_bands(config, T):
+    """Mirror frame._auto_row_bands for the base (no-varying) spec."""
+    from tiny_renderer_tpu.pipelines.frame import _auto_row_bands
+
+    return _auto_row_bands({"a1": np.zeros((T,), np.float32)}, config, ())
+
+
 def predictors(config, T, inc, cov_strips, pipeline="shadow"):
     """Analytic per-stage traffic counts for the compact (strip-shade)
     pallas path at the round-3 configuration (pre-expanded geometry,
@@ -51,7 +58,9 @@ def predictors(config, T, inc, cov_strips, pipeline="shadow"):
         # binning per frame: (span_y*span_x)T-key sort (multi-pass; count
         # raw elements — 32/T/pass at the 8x4 class default, 8 at the
         # round-4 tuned 4x2), records (T, lanes) write, csr_tris write.
-        "bin_sort_elems": config.max_span_y * config.max_span_x * T * passes,
+        # Capacity-scale scenes bin once PER ROW BAND (frame._auto_row_bands).
+        "bin_sort_elems": (config.max_span_y * config.max_span_x * T * passes
+                           * _row_bands(config, T)),
         "bin_bytes": (T * lanes * 4 + cap * 4) * passes,
         # raster: records+tris DMA, target writes (pass1 z, pass2 idx),
         # grid steps, candidate evaluations.

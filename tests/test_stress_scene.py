@@ -117,6 +117,72 @@ def test_csr_indirect_smem_budget_fallback(diablo_model, head_model, camera):
     assert rec.shape[0] == T_mid  # compact per-triangle table
 
 
+def test_row_bands_bit_identical(head_scene_data, camera):
+    """Row-band composition (capacity-scale raster) is a pure partition:
+    forcing row_bands=4 must render the exact frame of the default single
+    band, including the two-pass shadow pipeline and strip shading."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    geom, tex = head_scene_data
+    cfg = RenderConfig(width=128, height=128, tile_h=8, strip_batch=128)
+    args = (
+        jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+        *map(jnp.asarray, camera),
+    )
+    ref = make_frame_fn("shadow", cfg, backend="pallas_interpret")(*args)
+    banded = make_frame_fn(
+        "shadow", dataclasses.replace(cfg, row_bands=4),
+        backend="pallas_interpret",
+    )(*args)
+    assert not bool(np.asarray(banded["overflow"]))
+    np.testing.assert_array_equal(
+        np.asarray(ref["frame"]), np.asarray(banded["frame"])
+    )
+
+
+def test_auto_row_bands_capacity_plan():
+    """The auto band count engages exactly when both kernel budgets are
+    exceeded, and every planned band's cap fits the budget its layout
+    will use (SMEM id list for the indirect layout)."""
+    import numpy as np_
+
+    from tiny_renderer_tpu.ops.binning import SMEM_ID_LIST_BUDGET_BYTES
+    from tiny_renderer_tpu.pipelines.frame import _auto_row_bands, _band_plan
+
+    def fake_setup(T):
+        return {"a1": np_.zeros((T,), np_.float32)}
+
+    cfg = RenderConfig(width=800, height=800)
+    # Reference-class and the 40k test scene: single band.
+    assert _auto_row_bands(fake_setup(5022), cfg) == 1
+    assert _auto_row_bands(fake_setup(39872), cfg) == 1
+    # The two capacity configs that failed TPU AOT compile in the
+    # round-5 live window: banded, and every band back under budget.
+    for T in (80352, 321408):
+        R = _auto_row_bands(fake_setup(T), cfg)
+        assert R > 1
+        plan = _band_plan(fake_setup(T), cfg, ())
+        assert len(plan) == R
+        assert sum(bt for _, bt, _ in plan) == cfg.tiles_y
+        for _, _, cfg_b in plan:
+            from tiny_renderer_tpu.ops.binning import incidence_cap
+
+            assert (incidence_cap(T, cfg_b) * 4
+                    <= SMEM_ID_LIST_BUDGET_BYTES)
+    # Forcing row_bands wins over auto.
+    assert _auto_row_bands(
+        fake_setup(80352), dataclasses_replace(cfg, row_bands=3)) == 3
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
 @pytest.mark.slow  # 40k-triangle interpret-mode run (~25 s)
 @pytest.mark.parametrize("backend", ["pallas_interpret"])
 def test_stress_40k_triangles_backends_agree(big_scene, camera, backend):

@@ -180,6 +180,20 @@ class RenderConfig:
     # reference scenes (2.5-5k triangles) are far below the crossover.
     shard_triangles: bool = False
 
+    # Raster row-band composition for capacity-scale scenes.  0 = auto:
+    # 1 band (the certified single-pass layout) whenever the CSR id list
+    # fits the kernel's SMEM scalar-prefetch budget or the gathered
+    # record window fits the VMEM budget; otherwise the frame's tile rows
+    # are rasterized in R disjoint bands — per-band binning windows
+    # (row_tile_offset, the same mechanism the row-sharded path uses)
+    # with proportionally smaller incidence caps that restore the
+    # indirect layout.  Bit-identical to 1 band by construction (a tile's
+    # triangle list never depends on other tile rows; pinned by tests).
+    # The round-5 live window showed both walls on the 80k/321k-triangle
+    # stress configs: 1.26 MB id list > 1 MB SMEM, and the gathered
+    # fallback's 164 MB record window > 128 MB VMEM.  N >= 1 forces N.
+    row_bands: int = 0
+
     # Row-sharded two-pass rendering: rasterize the light-view depth pass
     # at FULL height on every device instead of per-shard + all_gather.
     # Trades the shadow map's ICI collective (H x W x 4 bytes over "rows")
@@ -239,6 +253,8 @@ class RenderConfig:
             raise ValueError("strip_batch must be >= 1")
         if self.raster_group < 1:
             raise ValueError("raster_group must be >= 1")
+        if self.row_bands < 0:
+            raise ValueError("row_bands must be 0 (auto) or >= 1")
         if self.strip_len < 1 or (self.strip_batch * self.strip_len) % 128 != 0:
             raise ValueError(
                 "strip_len must be >= 1 with strip_batch * strip_len a "

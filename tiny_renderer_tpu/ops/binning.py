@@ -147,6 +147,19 @@ def incidence_cap(T: int, config) -> int:
 # HBM->VMEM traffic — correctness over the layout optimization.
 SMEM_ID_LIST_BUDGET_BYTES = 768 * 1024
 
+# The record array (gathered mode: (cap, lanes); indirect mode:
+# (T, lanes)) is resident in VMEM for the raster kernel's whole grid,
+# and VMEM pads the lane (last) dimension to 128 — a (N, 16) f32 window
+# occupies N x 128 x 4 = N x VMEM_RECORD_ROW_BYTES bytes, NOT N x 64
+# (the round-5 window's failure arithmetic confirms it: the (321408, 16)
+# gathered window allocated exactly 321408 x 512 = 164,560,896 bytes
+# against the 128 MB VMEM).  Past this budget the TPU AOT compile fails.
+# bin_triangles keeps the indirect layout only while the (T, lanes)
+# table fits; pipelines.frame uses the same budget to pick the row-band
+# count for capacity-scale scenes.
+VMEM_RECORD_ROW_BYTES = 128 * 4
+VMEM_RECORDS_BUDGET_BYTES = 48 * 1024 * 1024
+
 
 def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     """Bin triangles into screen tiles as a CSR incidence list.
@@ -261,6 +274,8 @@ def bin_triangles(setup, config, spec=(), row_tile_offset=0):
     csr_tris = jnp.minimum(csr_tris, T - 1)  # sentinel slots -> harmless row
 
     records = pack_triangle_records(setup, spec, jnp)
-    if config.csr_indirect and cap * 4 <= SMEM_ID_LIST_BUDGET_BYTES:
+    if (config.csr_indirect
+            and cap * 4 <= SMEM_ID_LIST_BUDGET_BYTES
+            and T * VMEM_RECORD_ROW_BYTES <= VMEM_RECORDS_BUDGET_BYTES):
         return records, csr_tris, starts, overflowed
     return records[csr_tris], None, starts, overflowed

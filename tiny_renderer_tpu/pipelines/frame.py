@@ -18,7 +18,15 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import mathlib as ml
-from ..ops.binning import bin_triangles, compact_scatter
+from ..ops.binning import (
+    SMEM_ID_LIST_BUDGET_BYTES,
+    VMEM_RECORD_ROW_BYTES,
+    VMEM_RECORDS_BUDGET_BYTES,
+    _round_up,
+    bin_triangles,
+    compact_scatter,
+    incidence_cap,
+)
 from ..ops.raster_jnp import rasterize_jnp
 from ..ops.raster_pallas import rasterize_pallas, rasterize_pallas_fused
 from ..ops.vertex import triangle_setup
@@ -254,6 +262,130 @@ def unregister_pipeline(name):
 _BUILTIN_PIPELINES = frozenset(PIPELINES)
 
 
+def _auto_row_bands(setup, config, spec=()):
+    """Static row-band count for the kernel raster (config.row_bands).
+
+    1 for every reference-class scene — the certified single-pass layout.
+    Capacity-scale scenes whose CSR id list exceeds the SMEM scalar-
+    prefetch budget AND whose gathered-record window exceeds the VMEM
+    budget (both walls hit by the 80k/321k-triangle stress configs in the
+    round-5 live window) are rasterized in R disjoint tile-row bands with
+    proportionally smaller incidence caps.  Purely shape/config static.
+    """
+    if config.row_bands:
+        return min(config.row_bands, config.tiles_y)
+    T = setup["a1"].shape[0]
+    cap = incidence_cap(T, config)
+    # VMEM pads record rows to 128 lanes (binning.VMEM_RECORD_ROW_BYTES).
+    indirect_ok = (config.csr_indirect
+                   and T * VMEM_RECORD_ROW_BYTES <= VMEM_RECORDS_BUDGET_BYTES)
+    if indirect_ok and cap * 4 <= SMEM_ID_LIST_BUDGET_BYTES:
+        return 1
+    if cap * VMEM_RECORD_ROW_BYTES <= VMEM_RECORDS_BUDGET_BYTES:
+        return 1  # the gathered-record fallback fits as a single band
+    # Per-band cap bound for the layout the bands will actually get from
+    # bin_triangles: the SMEM id-list budget when indirection is
+    # available, the VMEM record-window budget otherwise.
+    per_band = (SMEM_ID_LIST_BUDGET_BYTES // 4 if indirect_ok
+                else VMEM_RECORDS_BUDGET_BYTES // VMEM_RECORD_ROW_BYTES)
+    ty = config.tiles_y
+    R = min(max(-(-cap // max(per_band, 4096)), 2), ty)
+    # Bands get ceil(ty/R) tile rows and a proportional cap; bump R until
+    # that cap (not cap/R — the rounding differs) fits the budget.
+    while R < ty:
+        bt = -(-ty // R)
+        if _round_up(-(-cap * bt // ty), 8) <= per_band:
+            break
+        R += 1
+    return R
+
+
+def _banded_caps(cap_total, tiles_y, band_tiles):
+    """Per-band incidence cap: the global cap's share of the band's tile
+    rows (keeps the global ~4x-mean margin per band), floored like
+    incidence_cap."""
+    return max(4096, _round_up(-(-cap_total * band_tiles // tiles_y), 8))
+
+
+def _band_plan(setup, config, spec):
+    """[(row_tile_offset, band_tiles, band_config)] for the banded raster;
+    a single entry when _auto_row_bands says 1.  Shared by
+    _rasterize_banded and profile's bin-stage prefix so the measured
+    binning work always matches the rendered binning work."""
+    R = _auto_row_bands(setup, config, spec)
+    if R == 1:
+        return [(0, config.tiles_y, config)]
+    ty = config.tiles_y
+    band_tiles = -(-ty // R)
+    cap_total = incidence_cap(setup["a1"].shape[0], config)
+    plan = []
+    t0 = 0
+    while t0 < ty:
+        bt = min(band_tiles, ty - t0)
+        plan.append((t0, bt, dataclasses.replace(
+            config,
+            height=bt * config.tile_h,
+            max_incidences=_banded_caps(cap_total, ty, bt),
+        )))
+        t0 += bt
+    return plan
+
+
+def _rasterize_banded(setup, config, backend, spec, emit_idx, emit_z,
+                      emit_strips, R):
+    """Kernel raster in R disjoint tile-row bands (config.row_bands doc).
+
+    Each band bins with row_tile_offset — the row-sharded path's
+    windowing, so per-band tile contents (and therefore pixels) are
+    bit-identical to the single-band render by construction; bands just
+    bound the id-list / record-window size the kernel sees at once.
+    Per-band caps can truncate coverage a single global cap would not —
+    flagged through the same `overflowed` contract (and presentation
+    warning); max_incidences raises them.
+    """
+    H, W = config.height, config.width
+    zs, idxs, vys, sts = [], [], [], []
+    overflowed = jnp.asarray(False)
+    for t0, bt, cfg_b in _band_plan(setup, config, spec):
+        records, tris, starts, ovf_b = bin_triangles(
+            setup, cfg_b, spec, row_tile_offset=t0)
+        z, idx, varys, strips = rasterize_pallas(
+            records,
+            starts,
+            jnp.full((1,), t0, jnp.int32),  # global pixel rows
+            tris,
+            idx_dtype=_idx_dtype(setup, config),
+            tile_h=config.tile_h,
+            tile_w=config.tile_w,
+            tiles_y=bt,
+            tiles_x=config.tiles_x,
+            spec=spec,
+            emit_idx=emit_idx,
+            emit_z=emit_z,
+            emit_strips=emit_strips,
+            group=config.raster_group,
+            interpret=(backend == "pallas_interpret"),
+        )
+        zs.append(z)
+        idxs.append(idx)
+        vys.append(varys)
+        sts.append(strips)
+        overflowed = overflowed | ovf_b
+
+    def cat(parts, axis=0):
+        return None if parts[0] is None else jnp.concatenate(parts, axis)
+
+    z, idx, strips = cat(zs), cat(idxs), cat(sts)
+    varys = cat(vys, axis=1)  # (planes, H, W)
+    return (
+        z[:H, :W] if z is not None else None,
+        idx[:H, :W] if idx is not None else None,
+        varys[:, :H, :W] if varys is not None else None,
+        strips[:H, : W // emit_strips] if strips is not None else None,
+        overflowed,
+    )
+
+
 def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True,
                emit_strips=0):
     """Backend dispatch.
@@ -271,6 +403,10 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True,
     if backend == "jnp":
         z, idx = rasterize_jnp(setup, H, W, config.tri_block)
         return z, idx, None, None, jnp.asarray(False)
+    R = _auto_row_bands(setup, config, spec)
+    if R > 1:
+        return _rasterize_banded(setup, config, backend, spec, emit_idx,
+                                 emit_z, emit_strips, R)
     records, tris, starts, overflowed = bin_triangles(setup, config, spec)
     z, idx, varys, strips = rasterize_pallas(
         records,
@@ -341,6 +477,8 @@ def _use_fused_raster(spec, config, backend, setup, pspec, needs_z):
         and not needs_z
         and _idx_dtype(setup, config) == "int32"
         and pspec is None
+        # Capacity-scale scenes rasterize in row bands (unfused path).
+        and _auto_row_bands(setup, config, ()) == 1
     )
 
 

@@ -32,6 +32,7 @@ from ..ops.vertex import triangle_setup
 from ..utils.timing import StageTimer
 from .frame import (
     PIPELINES,
+    _band_plan,
     _fused_raster,
     _planes_spec,
     _rasterize,
@@ -107,10 +108,15 @@ def _prefix_fn(pipeline, config, backend, stage):
 
             outs = []
             for s, sp in setups:
-                records, tris, starts, _ = bin_triangles(s, config, sp)
-                outs += [records[:, 0], starts]
-                if tris is not None:
-                    outs.append(tris)
+                # Mirror the (possibly row-banded) binning work the raster
+                # path actually performs (frame._band_plan) so the bin
+                # prefix's cost attribution matches the rendered frame.
+                for t0, _, cfg_b in _band_plan(s, config, sp):
+                    records, tris, starts, _ = bin_triangles(
+                        s, cfg_b, sp, row_tile_offset=t0)
+                    outs += [records[:, 0], starts]
+                    if tris is not None:
+                        outs.append(tris)
             return _checksum(*outs)
 
         # stage == "raster": run both passes' rasters, skip shading.
