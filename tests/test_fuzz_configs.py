@@ -72,6 +72,9 @@ def _random_config(rng, width, height):
         # flag is clear, so this samples both regimes deterministically.
         max_span_y=int(rng.choice([2, 4, 8])),
         max_span_x=int(rng.choice([2, 4])),
+        # 0 = auto (single band at fuzz scale); forced bands exercise the
+        # capacity-path partition on ordinary scenes.
+        row_bands=int(rng.choice([0, 0, 2, 3])),
     )
     return RenderConfig(**knobs)
 

@@ -117,17 +117,23 @@ def test_csr_indirect_smem_budget_fallback(diablo_model, head_model, camera):
     assert rec.shape[0] == T_mid  # compact per-triangle table
 
 
-def test_row_bands_bit_identical(head_scene_data, camera):
+@pytest.mark.parametrize("extra", [
+    {},
+    pytest.param({"strip_mask": True}, marks=pytest.mark.slow),
+])
+def test_row_bands_bit_identical(head_scene_data, camera, extra):
     """Row-band composition (capacity-scale raster) is a pure partition:
     forcing row_bands=4 must render the exact frame of the default single
-    band, including the two-pass shadow pipeline and strip shading."""
+    band, including the two-pass shadow pipeline, strip shading, and the
+    kernel-emitted strip coverage plane (strip_mask variant)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
     geom, tex = head_scene_data
-    cfg = RenderConfig(width=128, height=128, tile_h=8, strip_batch=128)
+    cfg = RenderConfig(width=128, height=128, tile_h=8, strip_batch=128,
+                       **extra)
     args = (
         jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
         *map(jnp.asarray, camera),
