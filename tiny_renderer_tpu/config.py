@@ -192,6 +192,9 @@ class RenderConfig:
     # The round-5 live window showed both walls on the 80k/321k-triangle
     # stress configs: 1.26 MB id list > 1 MB SMEM, and the gathered
     # fallback's 164 MB record window > 128 MB VMEM.  N >= 1 forces N.
+    # Applies to the single-device kernel raster (pipelines.frame); the
+    # row-sharded path already windows by shard and relies on the
+    # gathered-layout fallback beyond the id-list budget.
     row_bands: int = 0
 
     # Row-sharded two-pass rendering: rasterize the light-view depth pass
