@@ -217,6 +217,39 @@ def test_stress_40k_triangles_backends_agree(big_scene, camera, backend):
     assert mismatch <= 0.005, f"stress mismatch {mismatch:.4%}"
 
 
+@pytest.mark.slow  # 80k-tri interpret run (~1 min): the capacity config's
+# auto-banded raster end-to-end
+def test_stress_80k_auto_banded_agrees(diablo_model, camera):
+    """The 80k-triangle capacity scene auto-engages row bands (the
+    round-5 hardware walls) and must still agree with the jnp dense
+    path within the tie-flip budget, with no overflow."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiny_renderer_tpu.pipelines.frame import _auto_row_bands
+
+    geom = geom_dict(subdivide_mesh(diablo_model.mesh, levels=2))
+    tex = tex_dict(diablo_model)
+    assert geom["pos_idx"].shape[0] == 80352
+    cfg = RenderConfig(width=128, height=128, strip_batch=128, tile_h=8)
+    args = (
+        jax.tree.map(jnp.asarray, geom), jax.tree.map(jnp.asarray, tex),
+        *map(jnp.asarray, camera),
+    )
+    # The auto plan must be banded at this scale (SMEM id-list budget).
+    setup = {"a1": np.zeros((80352,), np.float32)}
+    assert _auto_row_bands(setup, cfg) > 1
+    ref = make_frame_fn("phong", cfg, backend="jnp")(*args)
+    out = make_frame_fn("phong", cfg, backend="pallas_interpret")(*args)
+    assert not bool(np.asarray(ref["overflow"]))
+    assert not bool(np.asarray(out["overflow"]))
+    mismatch = (
+        (np.asarray(out["frame"]) != np.asarray(ref["frame"]))
+        .any(axis=-1).mean()
+    )
+    assert mismatch <= 0.005, f"banded stress mismatch {mismatch:.4%}"
+
+
 @pytest.mark.slow  # 40k-tri sharded run; shard_triangles' fast reps are
 def test_stress_sharded_bit_identical(big_scene, camera):  # in test_parallel
     """The 40k-triangle scene through the row-sharded path (with
