@@ -25,10 +25,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def _row_bands(config, T):
-    """Mirror frame._auto_row_bands for the base (no-varying) spec."""
+    """Mirror frame._auto_row_bands (shape-static band count)."""
     from tiny_renderer_tpu.pipelines.frame import _auto_row_bands
 
-    return _auto_row_bands({"a1": np.zeros((T,), np.float32)}, config, ())
+    return _auto_row_bands({"a1": np.zeros((T,), np.float32)}, config)
 
 
 def predictors(config, T, inc, cov_strips, pipeline="shadow"):

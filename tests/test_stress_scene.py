@@ -170,7 +170,7 @@ def test_auto_row_bands_capacity_plan():
     for T in (80352, 321408):
         R = _auto_row_bands(fake_setup(T), cfg)
         assert R > 1
-        plan = _band_plan(fake_setup(T), cfg, ())
+        plan = _band_plan(fake_setup(T), cfg)
         assert len(plan) == R
         assert sum(bt for _, bt, _ in plan) == cfg.tiles_y
         for _, _, cfg_b in plan:

@@ -262,7 +262,7 @@ def unregister_pipeline(name):
 _BUILTIN_PIPELINES = frozenset(PIPELINES)
 
 
-def _auto_row_bands(setup, config, spec=()):
+def _auto_row_bands(setup, config):
     """Static row-band count for the kernel raster (config.row_bands).
 
     1 for every reference-class scene — the certified single-pass layout.
@@ -307,12 +307,12 @@ def _banded_caps(cap_total, tiles_y, band_tiles):
     return max(4096, _round_up(-(-cap_total * band_tiles // tiles_y), 8))
 
 
-def _band_plan(setup, config, spec):
+def _band_plan(setup, config):
     """[(row_tile_offset, band_tiles, band_config)] for the banded raster;
     a single entry when _auto_row_bands says 1.  Shared by
     _rasterize_banded and profile's bin-stage prefix so the measured
     binning work always matches the rendered binning work."""
-    R = _auto_row_bands(setup, config, spec)
+    R = _auto_row_bands(setup, config)
     if R == 1:
         return [(0, config.tiles_y, config)]
     ty = config.tiles_y
@@ -332,7 +332,7 @@ def _band_plan(setup, config, spec):
 
 
 def _rasterize_banded(setup, config, backend, spec, emit_idx, emit_z,
-                      emit_strips, R):
+                      emit_strips):
     """Kernel raster in R disjoint tile-row bands (config.row_bands doc).
 
     Each band bins with row_tile_offset — the row-sharded path's
@@ -346,7 +346,7 @@ def _rasterize_banded(setup, config, backend, spec, emit_idx, emit_z,
     H, W = config.height, config.width
     zs, idxs, vys, sts = [], [], [], []
     overflowed = jnp.asarray(False)
-    for t0, bt, cfg_b in _band_plan(setup, config, spec):
+    for t0, bt, cfg_b in _band_plan(setup, config):
         records, tris, starts, ovf_b = bin_triangles(
             setup, cfg_b, spec, row_tile_offset=t0)
         z, idx, varys, strips = rasterize_pallas(
@@ -403,10 +403,9 @@ def _rasterize(setup, config, backend, spec=(), emit_idx=True, emit_z=True,
     if backend == "jnp":
         z, idx = rasterize_jnp(setup, H, W, config.tri_block)
         return z, idx, None, None, jnp.asarray(False)
-    R = _auto_row_bands(setup, config, spec)
-    if R > 1:
+    if _auto_row_bands(setup, config) > 1:
         return _rasterize_banded(setup, config, backend, spec, emit_idx,
-                                 emit_z, emit_strips, R)
+                                 emit_z, emit_strips)
     records, tris, starts, overflowed = bin_triangles(setup, config, spec)
     z, idx, varys, strips = rasterize_pallas(
         records,
@@ -478,7 +477,7 @@ def _use_fused_raster(spec, config, backend, setup, pspec, needs_z):
         and _idx_dtype(setup, config) == "int32"
         and pspec is None
         # Capacity-scale scenes rasterize in row bands (unfused path).
-        and _auto_row_bands(setup, config, ()) == 1
+        and _auto_row_bands(setup, config) == 1
     )
 
 

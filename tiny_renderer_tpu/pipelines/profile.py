@@ -111,7 +111,7 @@ def _prefix_fn(pipeline, config, backend, stage):
                 # Mirror the (possibly row-banded) binning work the raster
                 # path actually performs (frame._band_plan) so the bin
                 # prefix's cost attribution matches the rendered frame.
-                for t0, _, cfg_b in _band_plan(s, config, sp):
+                for t0, _, cfg_b in _band_plan(s, config):
                     records, tris, starts, _ = bin_triangles(
                         s, cfg_b, sp, row_tile_offset=t0)
                     outs += [records[:, 0], starts]
