@@ -354,7 +354,19 @@ def main():
         os._exit(3)
 
     threading.Thread(target=_watchdog, daemon=True).start()
-    np.asarray(jnp.ones((8, 128)) * 2)
+    try:
+        np.asarray(jnp.ones((8, 128)) * 2)
+    except Exception as e:  # noqa: BLE001 — fast-failing backend phase
+        # The tunnel has a third failure mode besides wedge and silent
+        # exit: the first device op raises immediately (observed
+        # FAILED_PRECONDITION, round-5 05:25 UTC attempt).  Emit the
+        # same parseable failure line the hang watchdog would, with
+        # last_good riding along.
+        _live.set()
+        payload = watchdog_failure_payload()
+        payload["error"] = f"first device op failed: {e!r:.200}"
+        print(json.dumps(payload), flush=True)
+        sys.exit(3)
     _live.set()
     print("TUNNEL-LIVE", file=sys.stderr, flush=True)
 
